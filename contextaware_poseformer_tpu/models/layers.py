@@ -1,0 +1,160 @@
+"""Shared transformer layers and torch-compatible initializers.
+
+The lifting net's blocks follow the ViT/timm recipe used by the reference
+(ContextPose/mvn/models/pose_dformer.py:15-79). Numeric contracts worth
+calling out for checkpoint parity:
+- GELU is the exact erf formulation (torch nn.GELU default) — jax.nn.gelu
+  defaults to tanh-approximate, so we always pass approximate=False.
+- Attention scale is head_dim ** -0.5.
+- Default-initialized torch Linears are U(-1/sqrt(fan_in), +1/sqrt(fan_in))
+  for both kernel and bias; matching this keeps from-scratch training dynamics
+  comparable.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def torch_linear_kernel_init(key, shape, dtype=jnp.float32):
+    """U(-1/sqrt(fan_in), 1/sqrt(fan_in)); linen kernels are (in, out)."""
+    fan_in = shape[0]
+    bound = 1.0 / math.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def torch_linear_bias_init(fan_in: int) -> Callable:
+    bound = 1.0 / math.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+    return init
+
+
+class Linear(nn.Module):
+    """Dense layer with torch-default init (used throughout the lifter)."""
+
+    features: int
+    use_bias: bool = True
+    kernel_init: Callable | None = None
+    bias_init: Callable | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        dense = nn.Dense(
+            self.features,
+            use_bias=self.use_bias,
+            kernel_init=self.kernel_init or torch_linear_kernel_init,
+            bias_init=self.bias_init or torch_linear_bias_init(fan_in),
+            name="dense",
+        )
+        return dense(x)
+
+
+def gelu(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+class Mlp(nn.Module):
+    """fc1 -> GELU -> drop -> fc2 -> drop (pose_dformer.py:15-31)."""
+
+    hidden_features: int
+    out_features: int
+    drop_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = Linear(self.hidden_features, name="fc1")(x)
+        x = gelu(x)
+        x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
+        x = Linear(self.out_features, name="fc2")(x)
+        x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
+        return x
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention over short token axes (5 levels / 17 joints).
+
+    At these sequence lengths a plain fused einsum is the optimal TPU
+    formulation — flash-style tiling has nothing to tile
+    (pose_dformer.py:34-59; SURVEY.md section 7 kernel notes).
+    """
+
+    num_heads: int
+    qkv_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        b, n, c = x.shape
+        head_dim = c // self.num_heads
+        scale = head_dim**-0.5
+
+        qkv = Linear(c * 3, use_bias=self.qkv_bias, name="qkv")(x)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (b, n, h, d)
+
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, c)
+        out = Linear(c, name="proj")(out)
+        out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        return out
+
+
+class DropPath(nn.Module):
+    """Stochastic depth: drop the whole residual branch per sample."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.rate == 0.0:
+            return x
+        # Dropout with every non-batch dim broadcast == per-sample DropPath
+        # (keep-prob scaling included).
+        return nn.Dropout(
+            self.rate, broadcast_dims=tuple(range(1, x.ndim))
+        )(x, deterministic=deterministic)
+
+
+class Block(nn.Module):
+    """Pre-norm transformer block (pose_dformer.py:62-79). eps=1e-6 via the
+    reference's partial(nn.LayerNorm, eps=1e-6) at pose_dformer.py:166."""
+
+    num_heads: int
+    mlp_ratio: float = 2.0
+    qkv_bias: bool = True
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path: float = 0.0
+    ln_eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        dim = x.shape[-1]
+        h = nn.LayerNorm(epsilon=self.ln_eps, name="norm1")(x)
+        h = Attention(
+            self.num_heads,
+            qkv_bias=self.qkv_bias,
+            attn_drop=self.attn_drop_rate,
+            proj_drop=self.drop_rate,
+            name="attn",
+        )(h, deterministic)
+        x = x + DropPath(self.drop_path, name="drop_path1")(h, deterministic)
+
+        h = nn.LayerNorm(epsilon=self.ln_eps, name="norm2")(x)
+        h = Mlp(
+            int(dim * self.mlp_ratio), dim, self.drop_rate, name="mlp"
+        )(h, deterministic)
+        x = x + DropPath(self.drop_path, name="drop_path2")(h, deterministic)
+        return x
