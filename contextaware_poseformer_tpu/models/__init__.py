@@ -1,1 +1,5 @@
+from contextaware_poseformer_tpu.models.capf import (  # noqa: F401
+    ContextAwarePoseFormer,
+)
+from contextaware_poseformer_tpu.models.hrnet import HRNet  # noqa: F401
 from contextaware_poseformer_tpu.models.lifter import PoseLifter  # noqa: F401

@@ -1,0 +1,76 @@
+"""ContextAwarePoseFormer: the composite single-frame 3D pose model.
+
+Equivalent of the reference CA_PF (ContextPose/mvn/models/conpose.py:10-42)
+and its 3DHP twin VolumetricTriangulationNet (ContextPose_mpi/model/
+conpose.py:15-42): frozen 2D backbone -> multi-scale features -> context-aware
+lifting transformer -> root-relative 3D joints.
+
+Differences from the reference, by design:
+- images are NHWC float (normalization happens in the jit'd input pipeline,
+  not here — see data/augment.py), no NCHW permute;
+- returns (b, joints, 3); drivers add singleton axes where their metric code
+  expects them;
+- crop-coordinate normalization `xy / (image_wh/2) - 1` (conpose.py:34-35,
+  integer-division halves) is computed from the configured image shape instead
+  of hard-coded 96/128.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from contextaware_poseformer_tpu.config import ModelConfig
+from contextaware_poseformer_tpu.models.hrnet import HRNet
+from contextaware_poseformer_tpu.models.lifter import PoseLifter
+
+
+def crop_coords_to_grid(kpts_crop: jax.Array, image_shape: tuple[int, int]) -> jax.Array:
+    """Crop-pixel keypoints -> [-1, 1] grid coords (conpose.py:34-35).
+
+    image_shape is (H, W); the reference divides by (W//2, H//2) then
+    subtracts 1.
+    """
+    h, w = image_shape
+    half = jnp.asarray([w // 2, h // 2], dtype=kpts_crop.dtype)
+    return kpts_crop / half - 1.0
+
+
+class ContextAwarePoseFormer(nn.Module):
+    cfg: ModelConfig
+    dtype: Any = jnp.float32  # backbone compute dtype (bf16 for speed)
+
+    def setup(self):
+        if self.cfg.backbone.kind == "hrnet":
+            self.backbone = HRNet(cfg=self.cfg.backbone, dtype=self.dtype)
+        elif self.cfg.backbone.kind == "cpn":
+            from contextaware_poseformer_tpu.models.cpn import CPN
+
+            self.backbone = CPN(cfg=self.cfg.backbone, dtype=self.dtype)
+        else:
+            raise ValueError(f"unknown backbone kind: {self.cfg.backbone.kind}")
+        self.lifter = PoseLifter(
+            cfg=self.cfg.lifter, feature_dims=self.cfg.backbone.feature_dims
+        )
+
+    def __call__(
+        self,
+        images: jax.Array,  # (b, H, W, 3) normalized
+        keypoints_2d: jax.Array,  # (b, J, 2) full-frame normalized coords
+        keypoints_2d_crop: jax.Array,  # (b, J, 2) crop PIXEL coords
+        deterministic: bool = True,
+    ) -> jax.Array:
+        ref = crop_coords_to_grid(keypoints_2d_crop, self.cfg.image_shape)
+
+        features = self.backbone(images)
+        if self.cfg.backbone.frozen:
+            # reference freezes backbone params (conpose.py:22-25); the lax
+            # equivalent keeps grads from flowing into the conv stack.
+            features = [jax.lax.stop_gradient(f) for f in features]
+        # lifter computes in fp32 regardless of backbone dtype
+        features = [f.astype(jnp.float32) for f in features]
+
+        return self.lifter(keypoints_2d, ref, features, deterministic)

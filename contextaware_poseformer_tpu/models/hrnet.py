@@ -1,0 +1,172 @@
+"""HRNet-W32/W48 backbone, NHWC, frozen-BN, multi-scale outputs.
+
+TPU-native re-design of the reference PoseHighResolutionNet
+(ContextPose/mvn/models/pose_hrnet.py:312-501; identical copy in
+ContextPose_mpi/model/pose_hrnet.py). Structure:
+
+  stem (2x stride-2 conv) -> layer1 (4x Bottleneck-64)
+  -> transition1 -> stage2 (1 module, 2 branches)
+  -> transition2 -> stage3 (4 modules, 3 branches)
+  -> transition3 -> stage4 (3 modules, 4 branches, last module single-output)
+
+Forward returns FOUR feature maps [y4_0, t3_1, t3_2, t3_3] — the fused
+highest-resolution stage-4 output plus the stage-4 *inputs* for levels 1-3
+(the reference's quirk at pose_hrnet.py:501: `[y_list[0], x_list[1],
+x_list[2], x_list[3]]`). Shapes for 256x192 input: (64,48,C), (32,24,2C),
+(16,12,4C), (8,6,8C).
+
+Every torch (conv, bn) pair is one folded ConvBN module whose flax name is the
+torch conv's parameter prefix, so the checkpoint converter is a string rule
+(models/convert.py). The final_layer of the COCO checkpoint has no counterpart
+here, matching the reference's deleted final_layer (pose_hrnet.py:362-368) and
+strict=False load (train.py:292-296).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from contextaware_poseformer_tpu.config import BackboneConfig, HRNetStageConfig
+from contextaware_poseformer_tpu.models.backbone_common import (
+    ConvBN,
+    upsample_nearest,
+)
+
+
+class HRNet(nn.Module):
+    cfg: BackboneConfig
+    dtype: Any = jnp.float32
+
+    def _conv(self, name: str, feat: int, ks: int, stride: int, relu: bool):
+        return ConvBN(
+            features=feat, kernel_size=ks, stride=stride, relu=relu,
+            dtype=self.dtype, name=name,
+        )
+
+    def _basic_block(self, x, prefix: str, planes: int):
+        # BasicBlock (pose_hrnet.py:66-95); stage branches never need a
+        # downsample (in/out channels always match, stride 1).
+        y = self._conv(f"{prefix}.conv1", planes, 3, 1, relu=True)(x)
+        y = self._conv(f"{prefix}.conv2", planes, 3, 1, relu=False)(y)
+        return jax.nn.relu(y + x)
+
+    def _bottleneck(self, x, prefix: str, planes: int, downsample: bool):
+        # Bottleneck expansion=4 (pose_hrnet.py:98-136)
+        residual = x
+        y = self._conv(f"{prefix}.conv1", planes, 1, 1, relu=True)(x)
+        y = self._conv(f"{prefix}.conv2", planes, 3, 1, relu=True)(y)
+        y = self._conv(f"{prefix}.conv3", planes * 4, 1, 1, relu=False)(y)
+        if downsample:
+            residual = self._conv(
+                f"{prefix}.downsample.0", planes * 4, 1, 1, relu=False
+            )(x)
+        return jax.nn.relu(y + residual)
+
+    def _hr_module(
+        self,
+        xs: Sequence[jax.Array],
+        prefix: str,
+        stage: HRNetStageConfig,
+        multi_scale_output: bool,
+    ) -> list[jax.Array]:
+        nb = stage.num_branches
+        chans = list(stage.num_channels)
+
+        # branches (pose_hrnet.py:285-290)
+        outs = []
+        for i in range(nb):
+            y = xs[i]
+            for b in range(stage.num_blocks[i]):
+                y = self._basic_block(y, f"{prefix}.branches.{i}.{b}", chans[i])
+            outs.append(y)
+
+        # fuse (pose_hrnet.py:225-303): out_i = relu(sum_j path_ij(x_j))
+        num_out = nb if multi_scale_output else 1
+        fused = []
+        for i in range(num_out):
+            acc = None
+            for j in range(nb):
+                if j == i:
+                    y = outs[j]
+                elif j > i:
+                    # 1x1 conv + BN then nearest x2^(j-i)
+                    y = self._conv(
+                        f"{prefix}.fuse_layers.{i}.{j}.0",
+                        chans[i], 1, 1, relu=False,
+                    )(outs[j])
+                    y = upsample_nearest(y, 2 ** (j - i))
+                else:
+                    # (i-j) stride-2 3x3 convs; ReLU between, none on last
+                    y = outs[j]
+                    for k in range(i - j):
+                        last = k == i - j - 1
+                        feat = chans[i] if last else chans[j]
+                        y = self._conv(
+                            f"{prefix}.fuse_layers.{i}.{j}.{k}.0",
+                            feat, 3, 2, relu=not last,
+                        )(y)
+                acc = y if acc is None else acc + y
+            fused.append(jax.nn.relu(acc))
+        return fused
+
+    def _stage(
+        self,
+        xs: Sequence[jax.Array],
+        name: str,
+        stage: HRNetStageConfig,
+        multi_scale_output: bool = True,
+    ) -> list[jax.Array]:
+        for m in range(stage.num_modules):
+            last = m == stage.num_modules - 1
+            mso = multi_scale_output or not last
+            xs = self._hr_module(xs, f"{name}.{m}", stage, mso)
+        return xs
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> list[jax.Array]:
+        """x: (N, H, W, 3) normalized image -> 4 NHWC feature maps."""
+        cfg = self.cfg
+
+        # stem (pose_hrnet.py:464-470)
+        x = self._conv("conv1", 64, 3, 2, relu=True)(x)
+        x = self._conv("conv2", 64, 3, 2, relu=True)(x)
+
+        # layer1: 4x Bottleneck(64), first with 1x1 downsample to 256
+        x = self._bottleneck(x, "layer1.0", 64, downsample=True)
+        for b in range(1, 4):
+            x = self._bottleneck(x, f"layer1.{b}", 64, downsample=False)
+
+        # transition1 (pose_hrnet.py:372-411): 256 -> [C, 2C@/2]
+        c2 = list(cfg.stage2.num_channels)
+        xs = [
+            self._conv("transition1.0.0", c2[0], 3, 1, relu=True)(x),
+            self._conv("transition1.1.0.0", c2[1], 3, 2, relu=True)(x),
+        ]
+        ys = self._stage(xs, "stage2", cfg.stage2)
+
+        # transition2: channels match for existing branches -> identity; one
+        # new stride-2 branch from the LAST previous branch (pose_hrnet.py:484)
+        c3 = list(cfg.stage3.num_channels)
+        xs = [
+            ys[0],
+            ys[1],
+            self._conv("transition2.2.0.0", c3[2], 3, 2, relu=True)(ys[-1]),
+        ]
+        ys = self._stage(xs, "stage3", cfg.stage3)
+
+        c4 = list(cfg.stage4.num_channels)
+        xs = [
+            ys[0],
+            ys[1],
+            ys[2],
+            self._conv("transition3.3.0.0", c4[3], 3, 2, relu=True)(ys[-1]),
+        ]
+        stage4_in = xs
+        ys = self._stage(xs, "stage4", cfg.stage4, multi_scale_output=False)
+
+        # reference quirk: levels 1-3 are the stage-4 INPUTS (pose_hrnet.py:501)
+        return [ys[0], stage4_in[1], stage4_in[2], stage4_in[3]]

@@ -1,0 +1,67 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from contextaware_poseformer_tpu.config import LifterConfig, ModelConfig
+from contextaware_poseformer_tpu.models import ContextAwarePoseFormer
+from contextaware_poseformer_tpu.models.capf import crop_coords_to_grid
+
+from test_hrnet import tiny_cfg
+
+
+def small_model_cfg():
+    return ModelConfig(
+        backbone=tiny_cfg(width=8),
+        lifter=LifterConfig(embed_dim_ratio=32, depth=2, levels=4),
+        image_shape=(64, 64),
+    )
+
+
+def test_crop_coord_normalization_matches_reference():
+    # conpose.py:34-35: divide by [192//2, 256//2] then subtract 1
+    kp = jnp.asarray([[[0.0, 0.0], [96.0, 128.0], [191.0, 255.0]]])
+    out = np.asarray(crop_coords_to_grid(kp, (256, 192)))
+    np.testing.assert_allclose(
+        out, [[[-1.0, -1.0], [0.0, 0.0], [191 / 96 - 1, 255 / 128 - 1]]],
+        rtol=1e-6,
+    )
+
+
+def test_composite_forward_and_frozen_backbone():
+    cfg = small_model_cfg()
+    model = ContextAwarePoseFormer(cfg=cfg)
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+    kp = jnp.asarray(rng.uniform(-1, 1, (2, 17, 2)).astype(np.float32))
+    kpc = jnp.asarray(rng.uniform(0, 64, (2, 17, 2)).astype(np.float32))
+
+    params = model.init(jax.random.PRNGKey(0), imgs, kp, kpc)
+    out = model.apply(params, imgs, kp, kpc)
+    assert out.shape == (2, 17, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # frozen backbone: loss grads must vanish on backbone params and be
+    # nonzero on lifter params
+    def loss(p):
+        return jnp.mean(model.apply(p, imgs, kp, kpc) ** 2)
+
+    g = jax.grad(loss)(params)["params"]
+    bb = jax.tree.leaves(g["backbone"])
+    lf = jax.tree.leaves(g["lifter"])
+    assert all(float(jnp.abs(x).max()) == 0.0 for x in bb)
+    assert any(float(jnp.abs(x).max()) > 0.0 for x in lf)
+
+
+def test_composite_bf16_backbone():
+    cfg = small_model_cfg()
+    model = ContextAwarePoseFormer(cfg=cfg, dtype=jnp.bfloat16)
+    rng = np.random.RandomState(1)
+    imgs = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+    kp = jnp.asarray(rng.uniform(-1, 1, (2, 17, 2)).astype(np.float32))
+    kpc = jnp.asarray(rng.uniform(0, 64, (2, 17, 2)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), imgs, kp, kpc)
+    out = model.apply(params, imgs, kp, kpc)
+    assert out.dtype == jnp.float32  # lifter stays fp32
+    assert np.isfinite(np.asarray(out)).all()

@@ -1,0 +1,103 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from contextaware_poseformer_tpu.config import (
+    BackboneConfig,
+    HRNetStageConfig,
+    hrnet_backbone,
+)
+from contextaware_poseformer_tpu.models.convert import convert_conv_backbone
+from contextaware_poseformer_tpu.models.hrnet import HRNet
+
+torch = pytest.importorskip("torch")
+import torch_oracle  # noqa: E402
+
+
+def tiny_cfg(width=8):
+    """Structurally complete but small HRNet (all 4 stages, multi-module)."""
+    c = (width, 2 * width, 4 * width, 8 * width)
+    return BackboneConfig(
+        kind="hrnet",
+        width=width,
+        stage2=HRNetStageConfig(1, 2, (2, 2), c[:2]),
+        stage3=HRNetStageConfig(2, 3, (2, 2, 2), c[:3]),
+        stage4=HRNetStageConfig(2, 4, (2, 2, 2, 2), c),
+    )
+
+
+def test_hrnet_matches_torch_oracle_via_converter():
+    cfg = tiny_cfg()
+    model = HRNet(cfg=cfg)
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 64, 64, 3).astype(np.float32)
+
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), jnp.zeros_like(x))
+    flat = shapes["params"]
+
+    sd = torch_oracle.random_state_dict_for(flat, rng)
+    params = {"params": convert_conv_backbone(sd, flat)}
+
+    ours = model.apply(params, jnp.asarray(x))
+    golden = torch_oracle.hrnet_forward(sd, np.transpose(x, (0, 3, 1, 2)), cfg)
+
+    assert len(ours) == 4
+    for lvl, (a, b) in enumerate(zip(ours, golden)):
+        a = np.asarray(a)
+        b = np.transpose(b, (0, 2, 3, 1))
+        assert a.shape == b.shape, (lvl, a.shape, b.shape)
+        # fp32 accumulation through ~20 convs: demand tight agreement in bulk
+        # and bounded worst case (residual adds amplify rounding near
+        # cancellations).
+        denom = np.maximum(np.abs(b), 1e-2)
+        rel = np.abs(a - b) / denom
+        assert np.quantile(rel, 0.999) < 1e-3, f"level {lvl}: {np.quantile(rel, 0.999)}"
+        assert rel.max() < 1e-2, f"level {lvl}: worst {rel.max()}"
+
+
+def test_hrnet_output_shapes_full_size():
+    cfg = hrnet_backbone(32)
+    model = HRNet(cfg=cfg)
+    shapes = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0), jnp.zeros((1, 256, 192, 3))
+    )
+    out = jax.eval_shape(
+        lambda p, x: model.apply(p, x), shapes, jnp.zeros((1, 256, 192, 3))
+    )
+    dims = [(64, 48, 32), (32, 24, 64), (16, 12, 128), (8, 6, 256)]
+    for o, (h, w, c) in zip(out, dims):
+        assert o.shape == (1, h, w, c)
+
+    # parameter count sanity: HRNet-W32 backbone sans final layer ~28.5M
+    n = sum(
+        int(np.prod(l.shape))
+        for l in jax.tree.leaves(shapes)
+        if l.ndim == 4  # conv kernels
+    )
+    assert 27e6 < n < 30e6, n
+
+
+def test_converter_rejects_shape_mismatch_and_leftovers():
+    cfg = tiny_cfg()
+    model = HRNet(cfg=cfg)
+    shapes = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))
+    )["params"]
+    rng = np.random.RandomState(1)
+    sd = torch_oracle.random_state_dict_for(shapes, rng)
+
+    bad = dict(sd)
+    bad["conv1.weight"] = bad["conv1.weight"][:, :, :1, :1]
+    with pytest.raises(ValueError):
+        convert_conv_backbone(bad, shapes)
+
+    extra = dict(sd)
+    extra["some_extra.weight"] = np.zeros((1,), np.float32)
+    with pytest.raises(ValueError, match="unconsumed"):
+        convert_conv_backbone(extra, shapes)
+    # final_layer keys are expected leftovers (strict=False load in reference)
+    extra2 = dict(sd)
+    extra2["final_layer.weight"] = np.zeros((1,), np.float32)
+    convert_conv_backbone(extra2, shapes)  # no raise

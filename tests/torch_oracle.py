@@ -112,3 +112,116 @@ def lifter_forward(params, kp2d, ref, feats_nchw, depth, num_heads=8,
     )
     x = linear(x, params["head"])
     return x.numpy()
+
+
+# ---------------------------------------------------------------------------
+# HRNet oracle: consumes a torch-style state dict directly (conv+eval-BN),
+# mirroring the 4-stage HRNet graph described in SURVEY.md section 2.1.
+# ---------------------------------------------------------------------------
+
+
+def _bn_name(conv_name):
+    head, _, base = conv_name.rpartition(".")
+    if base.startswith("conv"):
+        return f"{head}.bn{base[4:]}" if head else f"bn{base[4:]}"
+    return f"{head}.{int(base) + 1}" if head else str(int(base) + 1)
+
+
+def conv_bn(x, sd, name, stride=1, relu=False):
+    w = t(sd[name + ".weight"])
+    bn = _bn_name(name)
+    y = F.conv2d(x, w, stride=stride, padding=(w.shape[-1] - 1) // 2)
+    y = F.batch_norm(
+        y, t(sd[bn + ".running_mean"]), t(sd[bn + ".running_var"]),
+        t(sd[bn + ".weight"]), t(sd[bn + ".bias"]), training=False, eps=1e-5,
+    )
+    return F.relu(y) if relu else y
+
+
+def _basic(x, sd, prefix, stride=1):
+    y = conv_bn(x, sd, f"{prefix}.conv1", stride, relu=True)
+    y = conv_bn(y, sd, f"{prefix}.conv2", 1)
+    return F.relu(y + x)
+
+
+def _bottle(x, sd, prefix, downsample):
+    r = x
+    y = conv_bn(x, sd, f"{prefix}.conv1", 1, relu=True)
+    y = conv_bn(y, sd, f"{prefix}.conv2", 1, relu=True)
+    y = conv_bn(y, sd, f"{prefix}.conv3", 1)
+    if downsample:
+        r = conv_bn(x, sd, f"{prefix}.downsample.0", 1)
+    return F.relu(y + r)
+
+
+def _hr_module(xs, sd, prefix, stage, multi_scale_output):
+    nb, chans = stage.num_branches, list(stage.num_channels)
+    outs = []
+    for i in range(nb):
+        y = xs[i]
+        for b in range(stage.num_blocks[i]):
+            y = _basic(y, sd, f"{prefix}.branches.{i}.{b}")
+        outs.append(y)
+    fused = []
+    for i in range(nb if multi_scale_output else 1):
+        acc = None
+        for j in range(nb):
+            if j == i:
+                y = outs[j]
+            elif j > i:
+                y = conv_bn(outs[j], sd, f"{prefix}.fuse_layers.{i}.{j}.0", 1)
+                y = F.interpolate(y, scale_factor=2 ** (j - i), mode="nearest")
+            else:
+                y = outs[j]
+                for k in range(i - j):
+                    last = k == i - j - 1
+                    y = conv_bn(
+                        y, sd, f"{prefix}.fuse_layers.{i}.{j}.{k}.0", 2,
+                        relu=not last,
+                    )
+            acc = y if acc is None else acc + y
+        fused.append(F.relu(acc))
+    return fused
+
+
+def _hr_stage(xs, sd, name, stage, multi_scale_output=True):
+    for m in range(stage.num_modules):
+        mso = multi_scale_output or m < stage.num_modules - 1
+        xs = _hr_module(xs, sd, f"{name}.{m}", stage, mso)
+    return xs
+
+
+def hrnet_forward(sd, x_nchw, cfg):
+    x = t(x_nchw)
+    x = conv_bn(x, sd, "conv1", 2, relu=True)
+    x = conv_bn(x, sd, "conv2", 2, relu=True)
+    x = _bottle(x, sd, "layer1.0", True)
+    for b in range(1, 4):
+        x = _bottle(x, sd, f"layer1.{b}", False)
+
+    c2 = list(cfg.stage2.num_channels)
+    xs = [
+        conv_bn(x, sd, "transition1.0.0", 1, relu=True),
+        conv_bn(x, sd, "transition1.1.0.0", 2, relu=True),
+    ]
+    ys = _hr_stage(xs, sd, "stage2", cfg.stage2)
+    xs = [ys[0], ys[1], conv_bn(ys[-1], sd, "transition2.2.0.0", 2, relu=True)]
+    ys = _hr_stage(xs, sd, "stage3", cfg.stage3)
+    xs = [ys[0], ys[1], ys[2], conv_bn(ys[-1], sd, "transition3.3.0.0", 2, relu=True)]
+    s4in = xs
+    ys = _hr_stage(xs, sd, "stage4", cfg.stage4, multi_scale_output=False)
+    return [f.numpy() for f in (ys[0], s4in[1], s4in[2], s4in[3])]
+
+
+def random_state_dict_for(flax_flat_params, rng):
+    """Random torch state dict matching a flat folded-conv param tree."""
+    sd = {}
+    for name, leaf in flax_flat_params.items():
+        kh, kw, cin, cout = leaf["kernel"].shape
+        sd[name + ".weight"] = rng.randn(cout, cin, kh, kw).astype(np.float32) * 0.1
+        bn = _bn_name(name)
+        sd[bn + ".weight"] = rng.uniform(0.5, 1.5, cout).astype(np.float32)
+        sd[bn + ".bias"] = rng.randn(cout).astype(np.float32) * 0.1
+        sd[bn + ".running_mean"] = rng.randn(cout).astype(np.float32) * 0.1
+        sd[bn + ".running_var"] = rng.uniform(0.5, 1.5, cout).astype(np.float32)
+    return sd
