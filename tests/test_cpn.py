@@ -1,0 +1,72 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from contextaware_poseformer_tpu.config import cpn_backbone
+from contextaware_poseformer_tpu.models.backbone_common import (
+    resize_bilinear_align_corners,
+)
+from contextaware_poseformer_tpu.models.convert import convert_conv_backbone
+from contextaware_poseformer_tpu.models.cpn import CPN
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+import torch_oracle  # noqa: E402
+
+CPN_SKIPS = (r"global_net\.predict\.", r"refine_net\.final_predict\.")
+
+
+def test_bilinear_align_corners_matches_torch():
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 8, 6, 5).astype(np.float32)
+    for out_hw in [(16, 12), (64, 48), (7, 5), (8, 6)]:
+        ours = np.asarray(
+            resize_bilinear_align_corners(jnp.asarray(x), out_hw)
+        )
+        golden = F.interpolate(
+            torch.from_numpy(np.transpose(x, (0, 3, 1, 2))),
+            size=out_hw, mode="bilinear", align_corners=True,
+        ).numpy()
+        np.testing.assert_allclose(
+            ours, np.transpose(golden, (0, 2, 3, 1)), rtol=1e-5, atol=1e-5
+        )
+
+
+def test_cpn_matches_torch_oracle_via_converter():
+    model = CPN(cfg=cpn_backbone())
+    rng = np.random.RandomState(0)
+    # small input (div by 32): 64x64 -> /4 = 16x16 output maps
+    x = rng.randn(1, 64, 64, 3).astype(np.float32)
+
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), jnp.zeros_like(x))
+    flat = shapes["params"]
+    sd = torch_oracle.random_state_dict_for(flat, rng)
+    params = {"params": convert_conv_backbone(sd, flat, skip_patterns=CPN_SKIPS)}
+
+    ours = model.apply(params, jnp.asarray(x))
+    golden = torch_oracle.cpn_forward(sd, np.transpose(x, (0, 3, 1, 2)))
+
+    assert len(ours) == 4
+    for lvl, (a, b) in enumerate(zip(ours, golden)):
+        a = np.asarray(a)
+        b = np.transpose(b, (0, 2, 3, 1))
+        assert a.shape == b.shape == (1, 16, 16, 256), (lvl, a.shape, b.shape)
+        # error normalized by the level's value scale (fp32 summation-order
+        # noise through a ~50-conv stack; parity means rel ~1e-6)
+        scale = np.sqrt(np.mean(b**2))
+        rel = np.abs(a - b) / scale
+        assert rel.max() < 1e-4, f"level {lvl}: worst {rel.max()}"
+
+
+def test_cpn_resnet_param_count():
+    # ResNet-50 conv params ~23.5M; laterals+upsamples+cascades add ~5M
+    model = CPN(cfg=cpn_backbone())
+    shapes = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))
+    )
+    n = sum(
+        int(np.prod(l.shape)) for l in jax.tree.leaves(shapes) if l.ndim == 4
+    )
+    assert 25e6 < n < 32e6, n

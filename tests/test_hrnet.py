@@ -48,13 +48,11 @@ def test_hrnet_matches_torch_oracle_via_converter():
         a = np.asarray(a)
         b = np.transpose(b, (0, 2, 3, 1))
         assert a.shape == b.shape, (lvl, a.shape, b.shape)
-        # fp32 accumulation through ~20 convs: demand tight agreement in bulk
-        # and bounded worst case (residual adds amplify rounding near
-        # cancellations).
-        denom = np.maximum(np.abs(b), 1e-2)
-        rel = np.abs(a - b) / denom
-        assert np.quantile(rel, 0.999) < 1e-3, f"level {lvl}: {np.quantile(rel, 0.999)}"
-        assert rel.max() < 1e-2, f"level {lvl}: worst {rel.max()}"
+        # error normalized by the level's value scale (fp32 summation-order
+        # noise through a ~20-conv stack)
+        scale = np.sqrt(np.mean(b**2))
+        rel = np.abs(a - b) / scale
+        assert rel.max() < 1e-4, f"level {lvl}: worst {rel.max()}"
 
 
 def test_hrnet_output_shapes_full_size():

@@ -218,10 +218,67 @@ def random_state_dict_for(flax_flat_params, rng):
     sd = {}
     for name, leaf in flax_flat_params.items():
         kh, kw, cin, cout = leaf["kernel"].shape
-        sd[name + ".weight"] = rng.randn(cout, cin, kh, kw).astype(np.float32) * 0.1
+        # variance-preserving scale: keeps activations O(1) through deep
+        # stacks so relative-error parity checks stay well-conditioned
+        std = (2.0 / (cin * kh * kw)) ** 0.5
+        sd[name + ".weight"] = (rng.randn(cout, cin, kh, kw) * std).astype(np.float32)
         bn = _bn_name(name)
         sd[bn + ".weight"] = rng.uniform(0.5, 1.5, cout).astype(np.float32)
         sd[bn + ".bias"] = rng.randn(cout).astype(np.float32) * 0.1
         sd[bn + ".running_mean"] = rng.randn(cout).astype(np.float32) * 0.1
         sd[bn + ".running_var"] = rng.uniform(0.5, 1.5, cout).astype(np.float32)
     return sd
+
+
+# ---------------------------------------------------------------------------
+# CPN oracle (ResNet-50 + globalNet + refineNet), SURVEY.md section 2.1
+# ---------------------------------------------------------------------------
+
+
+def _res_bottle(x, sd, prefix, stride, downsample):
+    r = x
+    y = conv_bn(x, sd, f"{prefix}.conv1", 1, relu=True)
+    y = conv_bn(y, sd, f"{prefix}.conv2", stride, relu=True)
+    y = conv_bn(y, sd, f"{prefix}.conv3", 1)
+    if downsample:
+        r = conv_bn(x, sd, f"{prefix}.downsample.0", stride)
+    return F.relu(y + r)
+
+
+def cpn_forward(sd, x_nchw):
+    x = t(x_nchw)
+    x = conv_bn(x, sd, "resnet.conv1", 2, relu=True)
+    x = F.max_pool2d(x, 3, 2, 1)
+    feats = []
+    for li, (p, blocks) in enumerate(zip((64, 128, 256, 512), (3, 4, 6, 3))):
+        stride = 1 if li == 0 else 2
+        x = _res_bottle(x, sd, f"resnet.layer{li+1}.0", stride, True)
+        for b in range(1, blocks):
+            x = _res_bottle(x, sd, f"resnet.layer{li+1}.{b}", 1, False)
+        feats.append(x)
+    res_out = feats[::-1]
+
+    global_fms, up = [], None
+    for i in range(4):
+        lat = conv_bn(res_out[i], sd, f"global_net.laterals.{i}.0", 1, relu=True)
+        feature = lat if i == 0 else lat + up
+        global_fms.append(feature)
+        if i != 3:
+            u = F.interpolate(feature, scale_factor=2, mode="bilinear",
+                              align_corners=True)
+            up = conv_bn(u, sd, f"global_net.upsamples.{i}.1", 1)
+
+    out_hw = (x.shape[2] * 8, x.shape[3] * 8)
+    refine_fms = []
+    for i in range(4):
+        y = global_fms[i]
+        for k in range(4 - i - 1):
+            r = y
+            z = conv_bn(y, sd, f"refine_net.cascade.{i}.{k}.conv1", 1, relu=True)
+            z = conv_bn(z, sd, f"refine_net.cascade.{i}.{k}.conv2", 1, relu=True)
+            z = conv_bn(z, sd, f"refine_net.cascade.{i}.{k}.conv3", 1)
+            r = conv_bn(y, sd, f"refine_net.cascade.{i}.{k}.downsample.0", 1)
+            y = F.relu(z + r)
+        y = F.interpolate(y, size=out_hw, mode="bilinear", align_corners=True)
+        refine_fms.append(y.numpy())
+    return refine_fms
