@@ -1,0 +1,137 @@
+"""Human3.6M dataset: array-native loader over the label pickles.
+
+Consumes the same `h36m_{train,validation}.pkl` files the reference builds
+(H36M-Toolbox/generate_labels_h36m.py:137-200: per-frame dicts with
+joints_3d [meters, camera space], joints_2d_cpn [full-frame normalized],
+joints_2d_cpn_crop [192x256 crop pixels], center/scale bbox, subject/action/
+subaction/camera ids) and serves the exact item tuple of
+Human36MSingleViewDataset.__getitem__ (ContextPose/mvn/datasets/human36m.py:
+554-584): cropped uint8 BGR image + labels.
+
+TPU-first redesign: ALL scalar labels are packed into contiguous numpy arrays
+at load time (no per-item dict walking); only the jpeg decode + affine crop
+remains per-item work, done by a thread pool in data/pipeline.py. Augmentation
+and normalization run inside the jit'd step (data/augment.py), so items here
+stay raw uint8.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from dataclasses import dataclass
+
+import numpy as np
+
+from contextaware_poseformer_tpu.utils import geometry
+
+try:  # cv2 ships in this image; keep a numpy fallback for portability
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+
+@dataclass
+class H36MDataset:
+    root: str  # images root (subdirs s_XX_act_XX_subact_XX_ca_XX/)
+    joints_3d: np.ndarray  # (N, 17, 3) float32 meters, camera space
+    joints_2d: np.ndarray  # (N, 17, 2) float32 full-frame normalized (CPN)
+    joints_2d_crop: np.ndarray  # (N, 17, 2) float32 crop pixels (CPN)
+    center: np.ndarray  # (N, 2)
+    scale: np.ndarray  # (N, 2)
+    action_idx: np.ndarray  # (N,) 0..29 (action-2)*2 + (subaction-1)
+    subject_idx: np.ndarray  # (N,)
+    video_idx: np.ndarray  # (N,)
+    image_paths: np.ndarray  # (N,) relative jpeg paths
+    image_shape: tuple[int, int] = (256, 192)  # (H, W)
+    precropped: bool = False  # images on disk already 192x256 crops
+
+    @staticmethod
+    def from_pickle(
+        labels_path: str,
+        root: str,
+        image_shape: tuple[int, int] = (256, 192),
+        precropped: bool = False,
+    ) -> "H36MDataset":
+        with open(labels_path, "rb") as f:
+            labels = pickle.load(f)
+        n = len(labels)
+        get = lambda key, shape, dt=np.float32: np.asarray(  # noqa: E731
+            [l[key] for l in labels], dtype=dt
+        ).reshape(n, *shape)
+
+        subdir_fmt = "s_{:02d}_act_{:02d}_subact_{:02d}_ca_{:02d}"
+        img_fmt = "s_{:02d}_act_{:02d}_subact_{:02d}_ca_{:02d}_{:06d}.jpg"
+        paths = np.asarray(
+            [
+                os.path.join(
+                    subdir_fmt.format(
+                        l["subject"], l["action"], l["subaction"],
+                        l["camera_id"] + 1,
+                    ),
+                    img_fmt.format(
+                        l["subject"], l["action"], l["subaction"],
+                        l["camera_id"] + 1, l["image_id"],
+                    ),
+                )
+                for l in labels
+            ]
+        )
+        actions = np.asarray([l["action"] for l in labels])
+        subactions = np.asarray([l["subaction"] for l in labels])
+        return H36MDataset(
+            root=root,
+            joints_3d=get("joints_3d", (17, 3)),
+            joints_2d=get("joints_2d_cpn", (17, 2)),
+            joints_2d_crop=get("joints_2d_cpn_crop", (17, 2)),
+            center=get("center", (2,)),
+            scale=get("scale", (2,)),
+            # (action-2)*2 + (subaction-1), human36m.py:529-530
+            action_idx=((actions - 2) * 2 + (subactions - 1)).astype(np.int32),
+            subject_idx=np.asarray([l["subject"] for l in labels], np.int32),
+            video_idx=np.asarray([l["video_id"] for l in labels], np.int64),
+            image_paths=paths,
+            image_shape=image_shape,
+            precropped=precropped,
+        )
+
+    def __len__(self) -> int:
+        return len(self.image_paths)
+
+    def shard(self, rank: int, world_size: int) -> list[int]:
+        """Contiguous per-rank label sharding with dist_size bookkeeping
+        (human36m.py:536-552). Mutates this dataset to the rank's slice."""
+        n = len(self) // world_size
+        dist_size = [
+            n if i < world_size - 1 else len(self) - n * (world_size - 1)
+            for i in range(world_size)
+        ]
+        start = n * rank
+        end = len(self) if rank == world_size - 1 else start + n
+        for name in (
+            "joints_3d", "joints_2d", "joints_2d_crop", "center", "scale",
+            "action_idx", "subject_idx", "video_idx", "image_paths",
+        ):
+            setattr(self, name, getattr(self, name)[start:end])
+        return dist_size
+
+    def load_image(self, idx: int) -> np.ndarray:
+        """Cropped (H, W, 3) uint8 BGR frame (human36m.py:569-571)."""
+        path = os.path.join(self.root, str(self.image_paths[idx]))
+        h, w = self.image_shape
+        if cv2 is not None:
+            img = cv2.imread(path, cv2.IMREAD_COLOR | cv2.IMREAD_IGNORE_ORIENTATION)
+        else:  # pragma: no cover
+            from PIL import Image
+
+            img = np.asarray(Image.open(path))[..., ::-1]  # RGB->BGR
+        if img is None:
+            raise FileNotFoundError(path)
+        if self.precropped and img.shape[:2] == (h, w):
+            return img
+        trans = geometry.get_affine_transform(
+            self.center[idx], self.scale[idx], (w, h)
+        )
+        if cv2 is not None:
+            return cv2.warpAffine(img, trans, (w, h), flags=cv2.INTER_LINEAR)
+        return geometry.warp_affine_bilinear(img, trans, (w, h))

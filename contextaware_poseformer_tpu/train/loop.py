@@ -1,0 +1,176 @@
+"""Epoch-level training/eval orchestration shared by the H36M and 3DHP
+drivers (reference: ContextPose/train.py:140-213,369-412 and
+ContextPose_mpi/run_3dhp.py:31-150,279-325).
+
+The device work is two compiled functions (train/steps.py); this loop owns
+data iteration, prefetch, metric aggregation, per-epoch logging, and the
+best-P1 checkpoint policy.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Callable
+
+import jax
+import numpy as np
+
+from contextaware_poseformer_tpu.config import Config
+from contextaware_poseformer_tpu.data import pipeline
+from contextaware_poseformer_tpu.models import ContextAwarePoseFormer
+from contextaware_poseformer_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+    replicated,
+)
+from contextaware_poseformer_tpu.train import metrics as metrics_lib
+from contextaware_poseformer_tpu.train import steps
+from contextaware_poseformer_tpu.train.checkpoint import CheckpointManager
+
+
+class MetricWriter:
+    """stdout + jsonl metric sink (replacing the reference's tqdm prints and
+    write-only tensorboardX writer, train.py:135-136,391-395)."""
+
+    def __init__(self, logdir: str | None):
+        self.path = None
+        if logdir:
+            os.makedirs(logdir, exist_ok=True)
+            self.path = os.path.join(logdir, "metrics.jsonl")
+
+    def write(self, record: dict[str, Any]) -> None:
+        msg = " | ".join(
+            f"{k}: {v:.4f}" if isinstance(v, float) else f"{k}: {v}"
+            for k, v in record.items()
+        )
+        print(msg, flush=True)
+        if self.path:
+            with open(self.path, "a") as f:
+                f.write(json.dumps(record) + "\n")
+
+
+class Trainer:
+    def __init__(self, cfg: Config, train_ds, val_ds, logdir: str | None = None,
+                 model_parallel: int = 1):
+        self.cfg = cfg
+        self.train_ds = train_ds
+        self.val_ds = val_ds
+        self.mesh = make_mesh(model_parallel=model_parallel)
+        self.model = ContextAwarePoseFormer(cfg=cfg.model)
+        self.steps_per_epoch = max(len(train_ds) // cfg.train.batch_size, 1)
+        self.optimizer = steps.make_optimizer(cfg, self.steps_per_epoch)
+        self.writer = MetricWriter(logdir)
+        self.ckpt = CheckpointManager(os.path.join(logdir, "checkpoints")) if logdir else None
+
+        self._train_step = jax.jit(
+            steps.make_train_step(self.model, cfg, self.optimizer),
+            donate_argnums=0,
+        )
+        self._eval_step = jax.jit(steps.make_eval_step(self.model, cfg))
+
+    # -- state ---------------------------------------------------------------
+
+    def init_state(self, rng) -> steps.TrainState:
+        first = next(
+            pipeline.batch_iterator(
+                self.train_ds, min(self.cfg.train.batch_size, 2),
+                shuffle=False, num_workers=2,
+            )
+        )[0]
+        state = steps.init_state(self.model, self.cfg, self.optimizer, rng, first)
+        pspecs = param_shardings(state.params, self.mesh)
+        return steps.TrainState(
+            jax.device_put(state.params, pspecs),
+            jax.device_put(state.opt_state, replicated(self.mesh)),
+            jax.device_put(state.step, replicated(self.mesh)),
+        )
+
+    def load_backbone(self, state: steps.TrainState, checkpoint_path: str
+                      ) -> steps.TrainState:
+        """COCO-pretrained backbone init (train.py:292-304)."""
+        from contextaware_poseformer_tpu.models import convert
+
+        sd = convert.load_torch_state_dict(checkpoint_path)
+        skips = (
+            (r"final_layer\.",)
+            if self.cfg.model.backbone.kind == "hrnet"
+            else (r"global_net\.predict\.", r"refine_net\.final_predict\.")
+        )
+        shapes = jax.tree.map(np.asarray, state.params["backbone"])
+        bb = convert.convert_conv_backbone(sd, shapes, skip_patterns=skips)
+        params = dict(state.params)
+        params["backbone"] = jax.device_put(
+            bb, param_shardings(bb, self.mesh)
+        )
+        return steps.TrainState(params, state.opt_state, state.step)
+
+    # -- epochs --------------------------------------------------------------
+
+    def _put(self, batch: steps.RawBatch) -> steps.RawBatch:
+        return jax.device_put(batch, batch_sharding(self.mesh))
+
+    def train_epoch(self, state: steps.TrainState, epoch: int, rng,
+                    max_steps: int | None = None):
+        host_iter = pipeline.batch_iterator(
+            self.train_ds, self.cfg.train.batch_size,
+            shuffle=True, seed=self.cfg.train.seed, epoch=epoch,
+            num_workers=self.cfg.data.num_workers,
+        )
+        losses, n = [], 0
+        t0 = time.time()
+        for batch, valid in pipeline.device_prefetch(host_iter, self._put):
+            state, m = self._train_step(state, batch, rng)
+            losses.append(m["loss"])
+            n += 1
+            if max_steps and n >= max_steps:
+                break
+        mean_loss = float(np.mean([float(l) for l in losses])) if losses else float("nan")
+        return state, {"train_loss": mean_loss, "epoch_time_s": time.time() - t0,
+                       "steps": n}
+
+    def evaluate(self, params, max_batches: int | None = None) -> dict[str, float]:
+        host_iter = pipeline.batch_iterator(
+            self.val_ds, self.cfg.train.batch_size,
+            shuffle=False, drop_remainder=False,
+            num_workers=self.cfg.data.num_workers,
+        )
+        preds, gts, total = [], [], 0
+        for i, (batch, valid) in enumerate(
+            pipeline.device_prefetch(host_iter, self._put)
+        ):
+            pred, gt = self._eval_step(params, batch)
+            preds.append(np.asarray(pred)[:valid])
+            gts.append(np.asarray(gt)[:valid])
+            total += valid
+            if max_batches and i + 1 >= max_batches:
+                break
+        pred = np.concatenate(preds, axis=0)
+        gt = np.concatenate(gts, axis=0)
+        action_idx = np.asarray(self.val_ds.action_idx[:total])
+        scores = metrics_lib.h36m_evaluate(gt, pred, action_idx)
+        return metrics_lib.h36m_summary(scores), scores
+
+    def fit(self, state: steps.TrainState, n_epochs: int, rng,
+            max_steps_per_epoch: int | None = None,
+            eval_batches: int | None = None,
+            start_epoch: int = 0):
+        best_p1 = float("inf")
+        for epoch in range(start_epoch, n_epochs):
+            state, train_m = self.train_epoch(
+                state, epoch, rng, max_steps=max_steps_per_epoch
+            )
+            summary, _ = self.evaluate(state.params, max_batches=eval_batches)
+            lr = float(
+                steps.lr_schedule(self.cfg, self.steps_per_epoch)(
+                    int(state.step)
+                )
+            )
+            record = {"epoch": epoch, "lr": lr, **train_m, **summary}
+            self.writer.write(record)
+            if self.ckpt:
+                self.ckpt.save(epoch, state, {"p1_mm": summary["p1_mm"]})
+            best_p1 = min(best_p1, summary["p1_mm"])
+        return state, best_p1

@@ -177,6 +177,7 @@ def make_eval_step(model, cfg: Config) -> Callable:
 def init_state(model, cfg: Config, optimizer, rng: jax.Array,
                sample: RawBatch) -> TrainState:
     task = Task.for_config(cfg)
+    sample = RawBatch(*(jnp.asarray(x) for x in sample))  # host numpy ok
     batch = _prepare(sample, cfg.model.backbone.kind, task)
     params = model.init(
         rng, batch.images, batch.keypoints_2d, batch.keypoints_2d_crop
