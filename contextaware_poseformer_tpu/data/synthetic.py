@@ -23,11 +23,15 @@ class SyntheticPoseDataset:
     image_shape: tuple[int, int] = (256, 192)
     num_joints: int = 17
     seed: int = 0
+    root_idx: int = 0  # 14 for the 3DHP flavor
+    num_seqs: int = 1  # >1 adds seq bookkeeping (3DHP-style)
     # filled in __post_init__
     joints_3d: np.ndarray = field(init=False)
     joints_2d: np.ndarray = field(init=False)
     joints_2d_crop: np.ndarray = field(init=False)
     action_idx: np.ndarray = field(init=False)
+    seq_idx: np.ndarray = field(init=False)
+    seq_names: tuple = field(init=False)
     _images: np.ndarray = field(init=False)
 
     def __post_init__(self):
@@ -43,7 +47,7 @@ class SyntheticPoseDataset:
         # 3D = fixed linear map of 2D + small noise; root-relative afterwards
         mix = np.random.RandomState(1234).randn(2, 3).astype(np.float32) * 0.1
         kp3d = kp2d @ mix + 0.005 * rng.randn(n, j, 3).astype(np.float32)
-        kp3d[:, 0] = 0.0  # root
+        kp3d[:, self.root_idx] = 0.0  # root
 
         images = rng.randint(0, 40, size=(n, h, w, 3)).astype(np.uint8)
         # paint bright disks at keypoints so image context carries signal
@@ -59,6 +63,8 @@ class SyntheticPoseDataset:
         self.action_idx = np.random.RandomState(self.seed + 1).randint(
             0, 30, size=n
         ).astype(np.int32)
+        self.seq_names = tuple(f"TS{i + 1}" for i in range(self.num_seqs))
+        self.seq_idx = (np.arange(n) * self.num_seqs // max(n, 1)).astype(np.int32)
         self._images = images
 
     def __len__(self):
