@@ -102,6 +102,9 @@ class LifterConfig:
     use_deformable: bool = True
     deform_heads: int = 4  # reference pose_dformer.py:202
     deform_samples: int = 4
+    # feature-sampling implementation: "gather" (jnp), "fused" (Pallas),
+    # "auto" (fused on TPU, gather elsewhere)
+    sampler: str = "auto"
 
     @property
     def embed_dim(self) -> int:

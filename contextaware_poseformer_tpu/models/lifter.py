@@ -36,7 +36,7 @@ from contextaware_poseformer_tpu.models.layers import (
     Linear,
     Mlp,
 )
-from contextaware_poseformer_tpu.ops import grid_sample_points
+from contextaware_poseformer_tpu.ops.deformable import sample_points
 
 
 def _offset_bias_init(num_heads: int, num_samples: int):
@@ -75,6 +75,7 @@ class DeformableBlock(nn.Module):
     num_samples: int = 4
     mlp_ratio: float = 2.0
     drop_path: float = 0.0
+    sampler_impl: str = "auto"
 
     @nn.compact
     def __call__(
@@ -114,8 +115,9 @@ class DeformableBlock(nn.Module):
 
         sampled = []
         for l in range(levels):
-            s = grid_sample_points(
-                features[l], pos[:, l], padding_mode="border", align_corners=True
+            s = sample_points(
+                features[l], pos[:, l], padding_mode="border",
+                align_corners=True, impl=self.sampler_impl,
             )  # (b, p, nh*ns, C_l)
             s = Linear(head_dim, name=f"embed_proj_{l}")(s)
             sampled.append(s)
@@ -164,8 +166,9 @@ class PoseLifter(nn.Module):
 
         level_tokens = [x]
         for l in range(levels):
-            s = grid_sample_points(
-                features[l], ref, padding_mode="zeros", align_corners=True
+            s = sample_points(
+                features[l], ref, padding_mode="zeros", align_corners=True,
+                impl=cfg.sampler,
             )  # (b, p, C_l)
             level_tokens.append(Linear(d, name=f"feat_embed_{l}")(s))
         tokens = jnp.stack(level_tokens, axis=1)  # (b, levels+1, p, d)
@@ -183,6 +186,7 @@ class PoseLifter(nn.Module):
                     num_samples=cfg.deform_samples,
                     mlp_ratio=cfg.mlp_ratio,
                     drop_path=dpr[i],
+                    sampler_impl=cfg.sampler,
                     name=f"context_block_{i}",
                 )(tokens, ref, features, deterministic)
 

@@ -1,0 +1,191 @@
+"""Fused multi-point bilinear sampling as a Pallas TPU kernel.
+
+The lifting net samples small feature maps at many scattered points per frame:
+17 reference points (pose_dformer.py:216-218) and 17x16 deformable points per
+level per block (pose_dformer.py:127-129). XLA lowers the jnp formulation
+(ops/grid_sample.py) to 4 gathers per call; on TPU, gathers of short feature
+rows underuse the hardware. This kernel reformulates bilinear sampling as two
+dense ONE-HOT contractions that run on the MXU/VPU with zero gathers:
+
+  row mix    R[p, h] = (h == y0_p) * (1 - wy_p) + (h == y0_p + 1) * wy_p
+  col mix    C[p, w] = (w == x0_p) * (1 - wx_p) + (w == x0_p + 1) * wx_p
+  G  = R @ F.reshape(H, W*C)          # MXU: (P, H) x (H, W*C)
+  out[p, c] = sum_w C[p, w] * G[p, w, c]   # VPU reduce
+
+Out-of-bounds handling falls out of the one-hot construction: an index
+outside [0, size) matches nothing and contributes zero — exactly torch's
+zeros-padding semantics; border mode clamps the *coordinates* first
+(identical to ops/grid_sample.py, which remains the reference implementation
+and the training backward).
+
+The op is wrapped in jax.custom_vjp: forward = this kernel, backward = the
+jnp gather formulation's VJP (compiled by XLA), so the kernel is usable in
+training too.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from contextaware_poseformer_tpu.ops import grid_sample
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _sample_kernel(pts_ref, f_ref, out_ref, *, h, w, c, border, align_corners):
+    """One batch element: pts (1, P, 2), f (1, H*W, C), both VMEM-resident.
+
+    Builds the full bilinear mixing matrix M[p, h*W+w] = row_p(h) * col_p(w)
+    with 2D elementwise ops only (Mosaic forbids lane-folding reshapes inside
+    kernels), then one MXU matmul M @ F. M never leaves VMEM.
+    """
+    pts = pts_ref[0]  # (P, 2)
+    f = f_ref[0]  # (H*W, C)
+    p = pts.shape[0]
+
+    def unnormalize(coord, size):
+        if align_corners:
+            return (coord + 1.0) * 0.5 * (size - 1)
+        return ((coord + 1.0) * size - 1.0) * 0.5
+
+    x = unnormalize(pts[:, 0], w)
+    y = unnormalize(pts[:, 1], h)
+    if border:
+        x = jnp.clip(x, 0.0, w - 1)
+        y = jnp.clip(y, 0.0, h - 1)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = (x - x0)[:, None]  # (P, 1)
+    wy = (y - y0)[:, None]
+    x0i = x0.astype(jnp.int32)[:, None]
+    y0i = y0.astype(jnp.int32)[:, None]
+
+    iota_hw = jax.lax.broadcasted_iota(jnp.int32, (p, h * w), 1)
+    h_idx = iota_hw // w
+    w_idx = iota_hw - h_idx * w
+    rowv = jnp.where(h_idx == y0i, 1.0 - wy, 0.0) + jnp.where(
+        h_idx == y0i + 1, wy, 0.0
+    )
+    colv = jnp.where(w_idx == x0i, 1.0 - wx, 0.0) + jnp.where(
+        w_idx == x0i + 1, wx, 0.0
+    )
+    m = rowv * colv  # (P, H*W), 4 nonzeros per row
+    # HIGHEST precision: the default MXU bf16 passes would round the bilinear
+    # weights and break float-tolerance parity with the gather formulation.
+    out_ref[0] = jnp.dot(
+        m, f.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(out_ref.dtype)
+
+
+def _sample_fused_fwd_impl(
+    features: jax.Array, points: jax.Array, *, padding_mode: str,
+    align_corners: bool, interpret: bool,
+) -> jax.Array:
+    b, h, w, c = features.shape
+    batch_shape = points.shape[:-1]
+    pts = points.reshape(b, -1, 2)
+    p = pts.shape[1]
+    p_pad = _round_up(max(p, 8), 8)
+    if p_pad != p:
+        pts = jnp.pad(pts, ((0, 0), (0, p_pad - p), (0, 0)))
+
+    kernel = functools.partial(
+        _sample_kernel, h=h, w=w, c=c,
+        border=padding_mode == "border", align_corners=align_corners,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, p_pad, 2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h * w, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, p_pad, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, p_pad, c), features.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * p_pad * h * w * c,
+            bytes_accessed=b * (h * w * c + p_pad * (2 + c)) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(pts, features.reshape(b, h * w, c))
+    return out[:, :p].reshape(*batch_shape, c)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(2, 3, 4)
+)
+def sample_points_fused(
+    features: jax.Array,
+    points: jax.Array,
+    padding_mode: str = "zeros",
+    align_corners: bool = True,
+    interpret: bool = False,
+) -> jax.Array:
+    """Drop-in for ops.grid_sample_points with a fused Pallas forward."""
+    return _sample_fused_fwd_impl(
+        features, points, padding_mode=padding_mode,
+        align_corners=align_corners, interpret=interpret,
+    )
+
+
+def _fwd(features, points, padding_mode, align_corners, interpret):
+    out = _sample_fused_fwd_impl(
+        features, points, padding_mode=padding_mode,
+        align_corners=align_corners, interpret=interpret,
+    )
+    return out, (features, points)
+
+
+def _bwd(padding_mode, align_corners, interpret, residuals, g):
+    features, points = residuals
+    # backward through the reference jnp formulation (same math, XLA-fused)
+    _, vjp = jax.vjp(
+        lambda f, p: grid_sample.grid_sample_points(
+            f, p, padding_mode=padding_mode, align_corners=align_corners
+        ),
+        features, points,
+    )
+    return vjp(g)
+
+
+sample_points_fused.defvjp(_fwd, _bwd)
+
+
+def sample_points(
+    features: jax.Array,
+    points: jax.Array,
+    padding_mode: str = "zeros",
+    align_corners: bool = True,
+    impl: str = "auto",
+) -> jax.Array:
+    """Implementation dispatcher: 'gather' (jnp), 'fused' (Pallas), or 'auto'
+    (fused on TPU, gather elsewhere)."""
+    if impl == "auto":
+        impl = "fused" if jax.default_backend() == "tpu" else "gather"
+    if impl == "gather":
+        return grid_sample.grid_sample_points(
+            features, points, padding_mode=padding_mode,
+            align_corners=align_corners,
+        )
+    if impl == "fused":
+        return sample_points_fused(features, points, padding_mode,
+                                   align_corners)
+    if impl == "fused_interpret":
+        return sample_points_fused(features, points, padding_mode,
+                                   align_corners, True)
+    raise ValueError(impl)

@@ -1,0 +1,65 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from contextaware_poseformer_tpu.ops import grid_sample
+from contextaware_poseformer_tpu.ops.deformable import (
+    sample_points,
+    sample_points_fused,
+)
+
+
+@pytest.mark.parametrize("padding_mode", ["zeros", "border"])
+@pytest.mark.parametrize("shape", [(2, 16, 16, 32), (1, 8, 16, 128)])
+def test_fused_matches_gather(padding_mode, shape):
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(*shape).astype(np.float32))
+    pts = jnp.asarray(
+        rng.uniform(-1.2, 1.2, (shape[0], 17, 16, 2)).astype(np.float32)
+    )
+    ref = grid_sample.grid_sample_points(feats, pts, padding_mode=padding_mode)
+    fused = sample_points_fused(feats, pts, padding_mode, True, True)  # interpret
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_zero_contribution_out_of_bounds():
+    feats = jnp.ones((1, 8, 8, 32), jnp.float32)
+    pts = jnp.asarray([[[-3.0, -3.0], [3.0, 3.0], [0.0, 0.0]]], jnp.float32)
+    out = sample_points_fused(feats, pts, "zeros", True, True)
+    np.testing.assert_allclose(np.asarray(out[0, 0]), 0.0)
+    np.testing.assert_allclose(np.asarray(out[0, 2]), 1.0, rtol=1e-6)
+
+
+def test_fused_grad_matches_gather_grad():
+    rng = np.random.RandomState(1)
+    feats = jnp.asarray(rng.randn(1, 8, 8, 32).astype(np.float32))
+    pts = jnp.asarray(rng.uniform(-0.9, 0.9, (1, 5, 2)).astype(np.float32))
+
+    def loss_fused(f, p):
+        return jnp.sum(sample_points_fused(f, p, "border", True, True) ** 2)
+
+    def loss_gather(f, p):
+        return jnp.sum(
+            grid_sample.grid_sample_points(f, p, padding_mode="border") ** 2
+        )
+
+    gf = jax.grad(loss_fused, argnums=(0, 1))(feats, pts)
+    gg = jax.grad(loss_gather, argnums=(0, 1))(feats, pts)
+    for a, b in zip(gf, gg):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_dispatcher():
+    rng = np.random.RandomState(2)
+    feats = jnp.asarray(rng.randn(1, 8, 8, 32).astype(np.float32))
+    pts = jnp.asarray(rng.uniform(-1, 1, (1, 5, 2)).astype(np.float32))
+    a = sample_points(feats, pts, impl="gather")
+    b = sample_points(feats, pts, impl="fused_interpret")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-6)
+    with pytest.raises(ValueError):
+        sample_points(feats, pts, impl="nope")
