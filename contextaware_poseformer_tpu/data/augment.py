@@ -130,3 +130,47 @@ def flip_test_merge(
     perm = jnp.asarray(flip_perm)
     unflipped = pred_flip.at[..., 0].multiply(-1.0)[..., perm, :]
     return 0.5 * (pred + unflipped)
+
+
+def erase_regions(
+    images: jax.Array,  # (b, H, W, 3) float
+    centers: jax.Array,  # (b, K, 2) xy pixel centers
+    size: int = 70,
+    use_mean: bool = True,
+) -> jax.Array:
+    """Occlusion augmentation: square regions around `centers` replaced by the
+    region mean (or zero). jit-safe re-design of erase_image
+    (mvn/utils/img.py:179-198); off-image centers are skipped like the
+    reference. Applied per batch with static K."""
+    b, h, w, _ = images.shape
+    ys = jnp.arange(h)[None, :, None]  # (1, H, 1)
+    xs = jnp.arange(w)[None, None, :]  # (1, 1, W)
+    out = images
+    half = size // 2
+    for k in range(centers.shape[1]):
+        cx = jnp.floor(centers[:, k, 0]).astype(jnp.int32)[:, None, None]
+        cy = jnp.floor(centers[:, k, 1]).astype(jnp.int32)[:, None, None]
+        valid = (
+            (cx >= 0) & (cy >= 0) & (cx < w) & (cy < h)
+        )  # (b, 1, 1)
+        mask = (
+            (xs >= cx - half) & (xs <= cx + half)
+            & (ys >= cy - half) & (ys <= cy + half)
+            & valid
+        )[..., None]  # (b, H, W, 1)
+        if use_mean:
+            msum = jnp.sum(jnp.where(mask, out, 0.0), axis=(1, 2), keepdims=True)
+            mcount = jnp.maximum(jnp.sum(mask, axis=(1, 2), keepdims=True), 1)
+            fill = msum / mcount
+        else:
+            fill = jnp.zeros_like(out[:, :1, :1])
+        out = jnp.where(mask, fill, out)
+    return out
+
+
+def gamma_correct(images: jax.Array, gamma: jax.Array | float) -> jax.Array:
+    """Gamma transform on [0,255] or [0,1] images (img.py:200-206
+    gamma_trans, without the uint8 LUT quantization)."""
+    scale = jnp.where(jnp.max(images) > 2.0, 255.0, 1.0)
+    x = jnp.clip(images / scale, 0.0, 1.0)
+    return jnp.power(x, gamma) * scale

@@ -84,10 +84,17 @@ H36M_LIMB_PAIRS = (
     (8, 9), (9, 10), (8, 11), (11, 12), (12, 13), (8, 14), (14, 15), (15, 16),
 )
 
+# the reference's CONNECTIVITY_DICT (loss.py:185) — legacy joint order
+REFERENCE_CONNECTIVITY = (
+    (0, 1), (1, 2), (2, 6), (5, 4), (4, 3), (3, 6), (6, 7), (7, 8),
+    (8, 16), (9, 16), (8, 12), (11, 12), (10, 11), (8, 13), (13, 14), (14, 15),
+)
 
-def limb_length_error(pred, gt, pairs=H36M_LIMB_PAIRS):
-    """Mean |limb length difference| over the kinematic tree
-    (loss.py:181-201 LimbLengthError)."""
+
+def limb_length_error(pred, gt, pairs=REFERENCE_CONNECTIVITY):
+    """Mean |limb length difference| over limb pairs (loss.py:181-201
+    LimbLengthError; default pairs = the reference's CONNECTIVITY_DICT,
+    H36M_LIMB_PAIRS gives the VideoPose-order kinematic tree)."""
     a = jnp.asarray([p[0] for p in pairs])
     b = jnp.asarray([p[1] for p in pairs])
     lp = jnp.linalg.norm(pred[..., a, :] - pred[..., b, :], axis=-1)
@@ -148,3 +155,37 @@ def mpjve(pred: np.ndarray, gt: np.ndarray) -> float:
     vel_p = np.diff(pred, axis=0)
     vel_g = np.diff(gt, axis=0)
     return float(np.mean(np.linalg.norm(vel_p - vel_g, axis=-1)))
+
+
+def uncertainty_loss(sigma_list, pred, gt):
+    """Heteroscedastic uncertainty loss (loss.py:8-13 UNCERTAINTY): L2 scaled
+    by per-joint sigma plus a log-sigma regularizer."""
+    diff = pred - gt
+    total = 0.0
+    for sigma in sigma_list:
+        total = total + (
+            jnp.mean(jnp.linalg.norm(diff / (sigma + 1e-6), axis=-1))
+            + 0.01 * jnp.mean(jnp.log(sigma + 1e-6))
+        )
+    return total
+
+
+def volumetric_ce_loss(coord_volumes, volumes_pred, keypoints_gt, validity):
+    """Volumetric cross-entropy (loss.py:150-178 VolumetricCELoss, the legacy
+    ContextPose volumetric head): -log of the predicted probability at the
+    voxel nearest each GT joint, masked by validity.
+
+    coord_volumes: (b, X, Y, Z, 3); volumes_pred: (b, j, X, Y, Z) softmaxed;
+    keypoints_gt: (b, j, 3); validity: (b, j, 1).
+    """
+    b, j = keypoints_gt.shape[:2]
+    vol_shape = volumes_pred.shape[-3:]
+    coords = coord_volumes.reshape(b, 1, -1, 3)
+    dists = jnp.sum(
+        (coords - keypoints_gt[:, :, None, :]) ** 2, axis=-1
+    )  # (b, j, XYZ)
+    idx = jnp.argmin(dists, axis=-1)  # (b, j)
+    flat = volumes_pred.reshape(b, j, -1)
+    picked = jnp.take_along_axis(flat, idx[..., None], axis=-1)[..., 0]
+    losses_ = -jnp.log(picked + 1e-6) * validity[..., 0]
+    return jnp.sum(losses_) / (b * j)

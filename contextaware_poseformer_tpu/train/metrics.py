@@ -185,3 +185,25 @@ def mpi3dhp_evaluate(
             for k in entries[0][0]
         }
     return result
+
+
+# ---------------------------------------------------------------------------
+# 2D PCKh (human36m.py:438-479 evaluate_2d_joint / evaluate2d)
+# ---------------------------------------------------------------------------
+
+
+def pckh_2d(
+    pred: np.ndarray,  # (N, J, 2)
+    gt: np.ndarray,  # (N, J, 2)
+    headsize: float,
+    thresholds: Sequence[float] = (0.5,),
+) -> dict[float, dict[str, np.ndarray | float]]:
+    """Per-joint 2D detection rate at |pred-gt| <= headsize*threshold.
+    The reference sets headsize = image_width/10 (human36m.py:453)."""
+    dist = np.sqrt(np.sum((np.asarray(gt) - np.asarray(pred)) ** 2, axis=2))
+    out = {}
+    for t in thresholds:
+        detected = dist <= headsize * t
+        per_joint = detected.sum(axis=0) / float(gt.shape[0])
+        out[t] = {"per_joint": per_joint, "mean": float(per_joint.mean())}
+    return out
