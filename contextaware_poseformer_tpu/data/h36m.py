@@ -115,6 +115,26 @@ class H36MDataset:
             setattr(self, name, getattr(self, name)[start:end])
         return dist_size
 
+    def load_batch(self, idxs: np.ndarray) -> np.ndarray | None:
+        """Whole-batch decode+crop via the native C++ loader (one GIL-free
+        call over a thread pool); None if the native lib is unavailable and
+        the pipeline should fall back to per-item load_image."""
+        from contextaware_poseformer_tpu.data import native_loader
+
+        if not native_loader.available():
+            return None
+        h, w = self.image_shape
+        paths = [os.path.join(self.root, str(self.image_paths[i])) for i in idxs]
+        if self.precropped:
+            return native_loader.load_crop_batch(
+                paths, None, (h, w), precropped=True
+            )
+        trans = np.stack([
+            geometry.get_affine_transform(self.center[i], self.scale[i], (w, h))
+            for i in idxs
+        ])
+        return native_loader.load_crop_batch(paths, trans, (h, w))
+
     def load_image(self, idx: int) -> np.ndarray:
         """Cropped (H, W, 3) uint8 BGR frame (human36m.py:569-571)."""
         path = os.path.join(self.root, str(self.image_paths[idx]))

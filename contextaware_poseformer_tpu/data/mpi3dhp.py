@@ -59,6 +59,18 @@ class Mpi3dhpDataset:
     def __len__(self):
         return len(self.image_paths)
 
+    def load_batch(self, idxs: np.ndarray) -> np.ndarray | None:
+        """Native whole-batch decode (frames are pre-cropped on disk,
+        convert_to_small.py:282-289); None -> per-item fallback."""
+        from contextaware_poseformer_tpu.data import native_loader
+
+        if not native_loader.available():
+            return None
+        paths = [os.path.join(self.root, str(self.image_paths[i])) for i in idxs]
+        return native_loader.load_crop_batch(
+            paths, None, self.image_shape, precropped=True
+        )
+
     def load_image(self, idx: int) -> np.ndarray:
         path = os.path.join(self.root, str(self.image_paths[idx]))
         img = cv2.imread(path, cv2.IMREAD_COLOR | cv2.IMREAD_IGNORE_ORIENTATION)

@@ -40,9 +40,17 @@ def _assemble(ds: ItemDataset, idxs: np.ndarray, pool: ThreadPoolExecutor,
     h, w = ds.image_shape
     n = len(idxs)
     total = pad_to or n
-    images = np.zeros((total, h, w, 3), np.uint8)
-    for i, img in zip(range(n), pool.map(ds.load_image, idxs)):
-        images[i] = img
+    batch_imgs = getattr(ds, "load_batch", lambda _i: None)(idxs)
+    if batch_imgs is not None:  # native C++ path: one GIL-free call
+        if total == n:
+            images = batch_imgs
+        else:
+            images = np.zeros((total, h, w, 3), np.uint8)
+            images[:n] = batch_imgs
+    else:
+        images = np.zeros((total, h, w, 3), np.uint8)
+        for i, img in zip(range(n), pool.map(ds.load_image, idxs)):
+            images[i] = img
 
     def pad(a):
         if total == n:
