@@ -59,7 +59,10 @@ class Trainer:
         self.train_ds = train_ds
         self.val_ds = val_ds
         self.mesh = make_mesh(model_parallel=model_parallel)
-        self.model = ContextAwarePoseFormer(cfg=cfg.model)
+        import jax.numpy as jnp
+
+        dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
+        self.model = ContextAwarePoseFormer(cfg=cfg.model, dtype=dtype)
         self.steps_per_epoch = max(len(train_ds) // cfg.train.batch_size, 1)
         self.optimizer = steps.make_optimizer(cfg, self.steps_per_epoch)
         self.writer = MetricWriter(logdir)
