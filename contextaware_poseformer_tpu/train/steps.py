@@ -155,20 +155,30 @@ def make_eval_step(model, cfg: Config) -> Callable:
     def eval_step(params, raw: RawBatch):
         batch = _prepare(raw, kind, task)
 
-        def fwd(b: augment.Batch):
-            return model.apply(
-                {"params": params},
-                b.images, b.keypoints_2d, b.keypoints_2d_crop,
-            )
+        def fwd(images, kp2d, kp2d_crop):
+            return model.apply({"params": params}, images, kp2d, kp2d_crop)
 
-        pred = fwd(batch)
         if cfg.train.flip_test:
-            # flip-test: forward the flipped inputs, un-flip, average
-            # (train.py:170-181; inputs stacked by prefetcher utils.py:67-78)
+            # flip-test with the flipped copy FOLDED INTO THE BATCH AXIS: one
+            # forward of 2B instead of two of B (same math as the reference's
+            # double forward, train.py:170-181, but a single dispatch that
+            # keeps the MXU saturated and shards cleanly — SURVEY.md sec. 7)
             flipped = augment.flip_test_inputs(batch, task.flip_perm,
                                                task.crop_width)
-            pred_flip = fwd(flipped)
-            pred = augment.flip_test_merge(pred, pred_flip, task.flip_perm)
+            b = batch.images.shape[0]
+            pred2 = fwd(
+                jnp.concatenate([batch.images, flipped.images], axis=0),
+                jnp.concatenate([batch.keypoints_2d, flipped.keypoints_2d]),
+                jnp.concatenate(
+                    [batch.keypoints_2d_crop, flipped.keypoints_2d_crop]
+                ),
+            )
+            pred = augment.flip_test_merge(
+                pred2[:b], pred2[b:], task.flip_perm
+            )
+        else:
+            pred = fwd(batch.images, batch.keypoints_2d,
+                       batch.keypoints_2d_crop)
         return pred, batch.keypoints_3d
 
     return eval_step

@@ -155,3 +155,39 @@ def test_lr_schedule_matches_reference_decay():
     )
     sched3 = steps.lr_schedule(cfg3, steps_per_epoch=10)
     assert float(sched3(35)) == pytest.approx(7e-4 * 0.97**3 * 0.5)
+
+
+def test_folded_flip_test_equals_two_pass():
+    """The batched flip-test (one 2B forward) must equal the reference's
+    two-forward formulation exactly."""
+    import dataclasses
+    from contextaware_poseformer_tpu.data import augment
+    from contextaware_poseformer_tpu.train.steps import Task
+
+    cfg = small_cfg(batch_size=4)
+    model = ContextAwarePoseFormer(cfg=cfg.model)
+    optimizer = steps.make_optimizer(cfg, steps_per_epoch=10)
+    rng = np.random.RandomState(5)
+    raw = make_raw_batch(rng, 4)
+    state = steps.init_state(model, cfg, optimizer, jax.random.PRNGKey(0), raw)
+
+    eval_step = jax.jit(steps.make_eval_step(model, cfg))
+    pred_folded, gt = eval_step(state.params, raw)
+
+    # manual two-pass
+    task = Task.for_config(cfg)
+    batch = augment.Batch(
+        images=augment.normalize_images(raw.images_u8, "hrnet"),
+        keypoints_3d=augment.root_center(raw.keypoints_3d, task.root_idx),
+        keypoints_2d=raw.keypoints_2d,
+        keypoints_2d_crop=raw.keypoints_2d_crop,
+    )
+    fwd = lambda b: model.apply(  # noqa: E731
+        {"params": state.params}, b.images, b.keypoints_2d, b.keypoints_2d_crop
+    )
+    p1 = fwd(batch)
+    p2 = fwd(augment.flip_test_inputs(batch, task.flip_perm, task.crop_width))
+    pred_two = augment.flip_test_merge(p1, p2, task.flip_perm)
+    np.testing.assert_allclose(
+        np.asarray(pred_folded), np.asarray(pred_two), rtol=1e-5, atol=1e-6
+    )
