@@ -65,3 +65,37 @@ def test_composite_bf16_backbone():
     out = model.apply(params, imgs, kp, kpc)
     assert out.dtype == jnp.float32  # lifter stays fp32
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_cpn_composite_through_eval_step():
+    """CPN preset wiring through the compiled eval step (small input)."""
+    import dataclasses
+
+    from contextaware_poseformer_tpu.config import (
+        Config, DataConfig, LifterConfig, ModelConfig, TrainConfig,
+        cpn_backbone,
+    )
+    from contextaware_poseformer_tpu.train import steps
+
+    cfg = Config(
+        model=ModelConfig(
+            backbone=cpn_backbone(),
+            lifter=LifterConfig(embed_dim_ratio=32, depth=1, levels=4),
+            image_shape=(64, 64),
+        ),
+        data=DataConfig(dataset="human36m"),
+        train=TrainConfig(batch_size=2, flip_test=True),
+    )
+    model = ContextAwarePoseFormer(cfg=cfg.model)
+    optimizer = steps.make_optimizer(cfg, steps_per_epoch=10)
+    rng = np.random.RandomState(0)
+    raw = steps.RawBatch(
+        images_u8=jnp.asarray(rng.randint(0, 256, (2, 64, 64, 3)).astype(np.uint8)),
+        keypoints_3d=jnp.asarray(rng.randn(2, 17, 3).astype(np.float32) * 0.1),
+        keypoints_2d=jnp.asarray(rng.uniform(-1, 1, (2, 17, 2)).astype(np.float32)),
+        keypoints_2d_crop=jnp.asarray(rng.uniform(0, 64, (2, 17, 2)).astype(np.float32)),
+    )
+    state = steps.init_state(model, cfg, optimizer, jax.random.PRNGKey(0), raw)
+    pred, gt = jax.jit(steps.make_eval_step(model, cfg))(state.params, raw)
+    assert pred.shape == (2, 17, 3)
+    assert np.isfinite(np.asarray(pred)).all()
