@@ -148,6 +148,11 @@ class TrainConfig:
     weight_decay: float = 0.1  # AdamW (train.py:345)
     n_epochs: int = 60
     flip_aug: bool = True  # random horizontal flip (datasets/utils.py:55-65)
+    # occlusion augmentation: erase squares around random joints
+    # (config.train.erase + img.py:179-198; off by default like the reference)
+    erase_aug: bool = False
+    erase_size: int = 70
+    erase_joints: int = 2
     flip_test: bool = True  # test-time flip averaging (train.py:170-181)
     seed: int = 0
     loss: str = "MPJPE"

@@ -121,11 +121,28 @@ def make_train_step(model, cfg: Config, optimizer) -> Callable:
     loss_fn = losses.LOSSES[loss_fn_name]
 
     def train_step(state: TrainState, raw: RawBatch, rng: jax.Array):
-        aug_rng, drop_rng = jax.random.split(jax.random.fold_in(rng, state.step))
+        aug_rng, erase_rng, drop_rng = jax.random.split(
+            jax.random.fold_in(rng, state.step), 3
+        )
         batch = _prepare(raw, kind, task)
         if cfg.train.flip_aug:
             batch = augment.train_augment(aug_rng, batch, task.flip_perm,
                                           task.crop_width)
+        if cfg.train.erase_aug:
+            # erase around randomly chosen joints (img.py:179-198 semantics)
+            b = batch.keypoints_2d_crop.shape[0]
+            j = cfg.model.lifter.num_joints
+            picks = jax.random.randint(
+                erase_rng, (b, cfg.train.erase_joints), 0, j
+            )
+            centers = jnp.take_along_axis(
+                batch.keypoints_2d_crop, picks[..., None], axis=1
+            )
+            batch = batch._replace(
+                images=augment.erase_regions(
+                    batch.images, centers, size=cfg.train.erase_size
+                )
+            )
 
         def compute_loss(params):
             pred = model.apply(

@@ -191,3 +191,21 @@ def test_folded_flip_test_equals_two_pass():
     np.testing.assert_allclose(
         np.asarray(pred_folded), np.asarray(pred_two), rtol=1e-5, atol=1e-6
     )
+
+
+def test_erase_aug_train_step():
+    import dataclasses
+
+    cfg = small_cfg(batch_size=4)
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, erase_aug=True,
+                                       erase_size=8, flip_aug=False)
+    )
+    model = ContextAwarePoseFormer(cfg=cfg.model)
+    optimizer = steps.make_optimizer(cfg, steps_per_epoch=10)
+    rng = np.random.RandomState(6)
+    raw = make_raw_batch(rng, 4)
+    state = steps.init_state(model, cfg, optimizer, jax.random.PRNGKey(0), raw)
+    train_step = jax.jit(steps.make_train_step(model, cfg, optimizer))
+    state, m = train_step(state, raw, jax.random.PRNGKey(9))
+    assert bool(m["finite"]) and np.isfinite(float(m["loss"]))
