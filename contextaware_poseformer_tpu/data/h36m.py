@@ -52,9 +52,14 @@ class H36MDataset:
         root: str,
         image_shape: tuple[int, int] = (256, 192),
         precropped: bool = False,
+        retain_every_n: int = 1,
     ) -> "H36MDataset":
+        """retain_every_n mirrors val.retain_every_n_frames_in_test
+        (human36m.yaml:86, human36m.py:129)."""
         with open(labels_path, "rb") as f:
             labels = pickle.load(f)
+        if retain_every_n > 1:
+            labels = labels[::retain_every_n]
         n = len(labels)
         get = lambda key, shape, dt=np.float32: np.asarray(  # noqa: E731
             [l[key] for l in labels], dtype=dt

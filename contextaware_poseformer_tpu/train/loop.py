@@ -9,8 +9,11 @@ best-P1 checkpoint policy.
 
 from __future__ import annotations
 
+import dataclasses
+import datetime
 import json
 import os
+import subprocess
 import time
 from typing import Any, Callable
 
@@ -52,9 +55,34 @@ class MetricWriter:
                 f.write(json.dumps(record) + "\n")
 
 
+def make_experiment_dir(logdir: str, name: str) -> str:
+    """Timestamped experiment dir with a config/source snapshot — the
+    reference copies its config and model sources per run
+    (train.py:122-138,283-286); we snapshot the full resolved config as JSON
+    plus the git commit."""
+    stamp = datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
+    exp = os.path.join(logdir, f"{name}@{stamp}")
+    os.makedirs(exp, exist_ok=True)
+    return exp
+
+
+def snapshot_config(exp_dir: str, cfg: Config) -> None:
+    with open(os.path.join(exp_dir, "config.json"), "w") as f:
+        json.dump(dataclasses.asdict(cfg), f, indent=2, default=str)
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip()
+        with open(os.path.join(exp_dir, "GIT_COMMIT"), "w") as f:
+            f.write(commit + "\n")
+    except Exception:
+        pass
+
+
 class Trainer:
     def __init__(self, cfg: Config, train_ds, val_ds, logdir: str | None = None,
-                 model_parallel: int = 1):
+                 model_parallel: int = 1, experiment_dir: bool = False):
         self.cfg = cfg
         self.train_ds = train_ds
         self.val_ds = val_ds
@@ -63,6 +91,10 @@ class Trainer:
 
         dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
         self.model = ContextAwarePoseFormer(cfg=cfg.model, dtype=dtype)
+        if logdir and experiment_dir:
+            logdir = make_experiment_dir(logdir, cfg.name)
+            snapshot_config(logdir, cfg)
+        self.logdir = logdir
         self.steps_per_epoch = max(len(train_ds) // cfg.train.batch_size, 1)
         self.optimizer = steps.make_optimizer(cfg, self.steps_per_epoch)
         self.writer = MetricWriter(logdir)
