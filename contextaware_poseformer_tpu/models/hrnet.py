@@ -9,11 +9,11 @@ ContextPose_mpi/model/pose_hrnet.py). Structure:
   -> transition2 -> stage3 (4 modules, 3 branches)
   -> transition3 -> stage4 (3 modules, 4 branches, last module single-output)
 
-Forward returns FOUR feature maps [y4_0, t3_1, t3_2, t3_3] — the fused
-highest-resolution stage-4 output plus the stage-4 *inputs* for levels 1-3
-(the reference's quirk at pose_hrnet.py:501: `[y_list[0], x_list[1],
-x_list[2], x_list[3]]`). Shapes for 256x192 input: (64,48,C), (32,24,2C),
-(16,12,4C), (8,6,8C).
+Forward returns FOUR feature maps: the fused highest-resolution stage-4
+output plus, for levels 1-3, the FIRST stage-4 module's pre-fuse branch
+outputs — the reference's `x_list` at pose_hrnet.py:501 aliases them because
+HRModule.forward mutates its input list in place (pose_hrnet.py:289-290).
+Shapes for 256x192 input: (64,48,C), (32,24,2C), (16,12,4C), (8,6,8C).
 
 Every torch (conv, bn) pair is one folded ConvBN module whose flax name is the
 torch conv's parameter prefix, so the checkpoint converter is a string rule
@@ -72,7 +72,12 @@ class HRNet(nn.Module):
         prefix: str,
         stage: HRNetStageConfig,
         multi_scale_output: bool,
-    ) -> list[jax.Array]:
+    ) -> tuple[list[jax.Array], list[jax.Array]]:
+        """Returns (fused_outputs, pre-fuse branch outputs). The branch
+        outputs matter because the reference's HRModule.forward mutates its
+        input list in place (pose_hrnet.py:289-290), so the driver-visible
+        x_list after stage4 aliases the FIRST stage-4 module's branch
+        outputs — which become feature levels 1-3 (pose_hrnet.py:501)."""
         nb = stage.num_branches
         chans = list(stage.num_channels)
 
@@ -111,7 +116,7 @@ class HRNet(nn.Module):
                         )(y)
                 acc = y if acc is None else acc + y
             fused.append(jax.nn.relu(acc))
-        return fused
+        return fused, outs
 
     def _stage(
         self,
@@ -119,12 +124,16 @@ class HRNet(nn.Module):
         name: str,
         stage: HRNetStageConfig,
         multi_scale_output: bool = True,
-    ) -> list[jax.Array]:
+    ) -> tuple[list[jax.Array], list[jax.Array]]:
+        """Returns (final outputs, FIRST module's pre-fuse branch outputs)."""
+        first_branch_outs = None
         for m in range(stage.num_modules):
             last = m == stage.num_modules - 1
             mso = multi_scale_output or not last
-            xs = self._hr_module(xs, f"{name}.{m}", stage, mso)
-        return xs
+            xs, branch_outs = self._hr_module(xs, f"{name}.{m}", stage, mso)
+            if first_branch_outs is None:
+                first_branch_outs = branch_outs
+        return xs, first_branch_outs
 
     @nn.compact
     def __call__(self, x: jax.Array) -> list[jax.Array]:
@@ -146,7 +155,7 @@ class HRNet(nn.Module):
             self._conv("transition1.0.0", c2[0], 3, 1, relu=True)(x),
             self._conv("transition1.1.0.0", c2[1], 3, 2, relu=True)(x),
         ]
-        ys = self._stage(xs, "stage2", cfg.stage2)
+        ys, _ = self._stage(xs, "stage2", cfg.stage2)
 
         # transition2: channels match for existing branches -> identity; one
         # new stride-2 branch from the LAST previous branch (pose_hrnet.py:484)
@@ -156,7 +165,7 @@ class HRNet(nn.Module):
             ys[1],
             self._conv("transition2.2.0.0", c3[2], 3, 2, relu=True)(ys[-1]),
         ]
-        ys = self._stage(xs, "stage3", cfg.stage3)
+        ys, _ = self._stage(xs, "stage3", cfg.stage3)
 
         c4 = list(cfg.stage4.num_channels)
         xs = [
@@ -165,8 +174,12 @@ class HRNet(nn.Module):
             ys[2],
             self._conv("transition3.3.0.0", c4[3], 3, 2, relu=True)(ys[-1]),
         ]
-        stage4_in = xs
-        ys = self._stage(xs, "stage4", cfg.stage4, multi_scale_output=False)
+        ys, s4_branch0 = self._stage(xs, "stage4", cfg.stage4,
+                                     multi_scale_output=False)
 
-        # reference quirk: levels 1-3 are the stage-4 INPUTS (pose_hrnet.py:501)
-        return [ys[0], stage4_in[1], stage4_in[2], stage4_in[3]]
+        # reference quirk (verified against the live module with
+        # tools/parity_check.py --component backbone): `x_list` at
+        # pose_hrnet.py:501 was MUTATED IN PLACE by the first stage-4
+        # module's branch loop, so levels 1-3 are that module's pre-fuse
+        # branch outputs — not the transition outputs.
+        return [ys[0], s4_branch0[1], s4_branch0[2], s4_branch0[3]]

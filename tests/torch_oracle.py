@@ -181,14 +181,17 @@ def _hr_module(xs, sd, prefix, stage, multi_scale_output):
                     )
             acc = y if acc is None else acc + y
         fused.append(F.relu(acc))
-    return fused
+    return fused, outs
 
 
 def _hr_stage(xs, sd, name, stage, multi_scale_output=True):
+    first_branch_outs = None
     for m in range(stage.num_modules):
         mso = multi_scale_output or m < stage.num_modules - 1
-        xs = _hr_module(xs, sd, f"{name}.{m}", stage, mso)
-    return xs
+        xs, branch_outs = _hr_module(xs, sd, f"{name}.{m}", stage, mso)
+        if first_branch_outs is None:
+            first_branch_outs = branch_outs
+    return xs, first_branch_outs
 
 
 def hrnet_forward(sd, x_nchw, cfg):
@@ -204,13 +207,15 @@ def hrnet_forward(sd, x_nchw, cfg):
         conv_bn(x, sd, "transition1.0.0", 1, relu=True),
         conv_bn(x, sd, "transition1.1.0.0", 2, relu=True),
     ]
-    ys = _hr_stage(xs, sd, "stage2", cfg.stage2)
+    ys, _ = _hr_stage(xs, sd, "stage2", cfg.stage2)
     xs = [ys[0], ys[1], conv_bn(ys[-1], sd, "transition2.2.0.0", 2, relu=True)]
-    ys = _hr_stage(xs, sd, "stage3", cfg.stage3)
+    ys, _ = _hr_stage(xs, sd, "stage3", cfg.stage3)
     xs = [ys[0], ys[1], ys[2], conv_bn(ys[-1], sd, "transition3.3.0.0", 2, relu=True)]
-    s4in = xs
-    ys = _hr_stage(xs, sd, "stage4", cfg.stage4, multi_scale_output=False)
-    return [f.numpy() for f in (ys[0], s4in[1], s4in[2], s4in[3])]
+    # reference aliasing quirk: levels 1-3 = first stage-4 module's pre-fuse
+    # branch outputs (pose_hrnet.py:289-290,501); verified live by
+    # tools/parity_check.py --component backbone
+    ys, s4b0 = _hr_stage(xs, sd, "stage4", cfg.stage4, multi_scale_output=False)
+    return [f.numpy() for f in (ys[0], s4b0[1], s4b0[2], s4b0[3])]
 
 
 def random_state_dict_for(flax_flat_params, rng):

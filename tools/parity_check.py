@@ -1,0 +1,273 @@
+"""Direct parity check: the REFERENCE PyTorch lifting net vs our PoseLifter.
+
+Imports the actual reference module from /root/reference (read-only), builds
+its PoseTransformer with random torch init, converts the state dict with
+models/convert.convert_lifter, and compares outputs on identical inputs.
+This is the strongest possible parity statement without trained checkpoints:
+same weights, same inputs, reference code vs our code.
+
+Requires /root/reference and torch; timm (absent in this image) is stubbed —
+the only symbol the reference uses is DropPath, which is identity in eval
+mode (timm semantics for p=0 or .eval()).
+
+    python tools/parity_check.py [--backbone hrnet_32|cpn] [--mpi]
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import os
+import sys
+import types
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def _stub_timm():
+    import torch.nn as nn
+
+    class DropPath(nn.Module):
+        """timm DropPath; identity in eval / p=0 (sufficient for parity)."""
+
+        def __init__(self, drop_prob=None):
+            super().__init__()
+            self.drop_prob = drop_prob
+
+        def forward(self, x):
+            return x
+
+    def to_2tuple(x):
+        return x if isinstance(x, tuple) else (x, x)
+
+    def trunc_normal_(tensor, mean=0.0, std=1.0, a=-2.0, b=2.0):
+        import torch
+
+        with torch.no_grad():
+            tensor.normal_(mean, std).clamp_(a * std, b * std)
+        return tensor
+
+    def register_model(fn):
+        return fn
+
+    timm = types.ModuleType("timm")
+    models = types.ModuleType("timm.models")
+    models.__path__ = []  # mark as package so submodule imports resolve
+    layers = types.ModuleType("timm.models.layers")
+    registry = types.ModuleType("timm.models.registry")
+    layers.DropPath = DropPath
+    layers.to_2tuple = to_2tuple
+    layers.trunc_normal_ = trunc_normal_
+    registry.register_model = register_model
+    models.layers = layers
+    models.registry = registry
+    timm.models = models
+    sys.modules.setdefault("timm", timm)
+    sys.modules.setdefault("timm.models", models)
+    sys.modules.setdefault("timm.models.layers", layers)
+    sys.modules.setdefault("timm.models.registry", registry)
+
+
+def _load_reference_lifter(mpi: bool):
+    _stub_timm()
+    path = (
+        os.path.join(REFERENCE_ROOT, "ContextPose_mpi/model/pose_dformer.py")
+        if mpi
+        else os.path.join(REFERENCE_ROOT, "ContextPose/mvn/models/pose_dformer.py")
+    )
+    spec = importlib.util.spec_from_file_location("ref_pose_dformer", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--backbone", default="hrnet_32",
+                   choices=["hrnet_32", "hrnet_48", "cpn"])
+    p.add_argument("--mpi", action="store_true",
+                   help="check the 3DHP (no-deformable) variant")
+    p.add_argument("--component", default="lifter",
+                   choices=["lifter", "backbone"])
+    p.add_argument("--batch", type=int, default=3)
+    args = p.parse_args(argv)
+
+    if args.component == "backbone":
+        if not os.path.isdir(REFERENCE_ROOT):
+            print("SKIP: /root/reference not present")
+            return 0
+        kind = "cpn" if args.backbone == "cpn" else "hrnet"
+        width = 48 if args.backbone == "hrnet_48" else 32
+        return check_backbone(kind, width, args.batch)
+
+    if not os.path.isdir(REFERENCE_ROOT):
+        print("SKIP: /root/reference not present")
+        return 0
+
+    import numpy as np
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from contextaware_poseformer_tpu.config import LifterConfig, preset
+    from contextaware_poseformer_tpu.models import PoseLifter
+    from contextaware_poseformer_tpu.models.convert import convert_lifter
+
+    ref_mod = _load_reference_lifter(args.mpi)
+
+    name = f"mpi_3dhp_{args.backbone}" if args.mpi else f"h36m_{args.backbone}"
+    cfg = preset(name)
+    lc: LifterConfig = cfg.model.lifter
+    bb = cfg.model.backbone
+
+    class RefCfg:  # the attribute bag the reference reads (pose_dformer.py:167-171)
+        base_dim = bb.width if bb.kind == "hrnet" else 256
+        embed_dim_ratio = lc.embed_dim_ratio
+        depth = lc.depth
+        levels = lc.levels
+
+    torch.manual_seed(0)
+    if args.mpi:
+        ref_model = ref_mod.PoseTransformer(RefCfg)
+    else:
+        ref_model = ref_mod.PoseTransformer(RefCfg, backbone=bb.kind if bb.kind == "cpn" else f"hrnet_{bb.width}")
+    ref_model.eval()
+
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    params = convert_lifter(
+        sd, depth=lc.depth, levels=lc.levels, use_deformable=lc.use_deformable
+    )
+
+    rng = np.random.RandomState(0)
+    b, j = args.batch, lc.num_joints
+    dims = bb.feature_dims
+    strides = bb.feature_strides
+    h, w = cfg.model.image_shape
+    sizes = [(h // s, w // s) for s in strides]
+    kp2d = rng.uniform(-1, 1, (b, j, 2)).astype(np.float32)
+    ref_pts = rng.uniform(-0.9, 0.9, (b, j, 2)).astype(np.float32)
+    feats = [rng.randn(b, hh, ww, c).astype(np.float32) / 4
+             for (hh, ww), c in zip(sizes, dims)]
+
+    # reference forward (NCHW)
+    with torch.no_grad():
+        t_feats = [torch.from_numpy(np.transpose(f, (0, 3, 1, 2))) for f in feats]
+        ref_out = ref_model(
+            torch.from_numpy(kp2d), torch.from_numpy(ref_pts), t_feats
+        )
+        if isinstance(ref_out, tuple):  # 3DHP returns (out, None)
+            ref_out = ref_out[0].permute(0, 2, 3, 4, 1).reshape(b, j, 3)
+        else:
+            ref_out = ref_out.reshape(b, j, 3)
+        ref_out = ref_out.numpy()
+
+    # ours (gather sampler for exactness on any backend)
+    import dataclasses
+
+    ours_model = PoseLifter(
+        cfg=dataclasses.replace(lc, sampler="gather"), feature_dims=dims
+    )
+    out = np.asarray(
+        ours_model.apply(
+            {"params": params}, jnp.asarray(kp2d), jnp.asarray(ref_pts),
+            [jnp.asarray(f) for f in feats],
+        )
+    )
+
+    diff = np.abs(out - ref_out)
+    scale = np.sqrt(np.mean(ref_out**2))
+    print(
+        f"{name}: max abs diff {diff.max():.3e}, rel-to-RMS {diff.max()/scale:.3e}"
+        f" (output RMS {scale:.3f})"
+    )
+    ok = diff.max() / scale < 1e-4
+    print("PARITY", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+# ---------------------------------------------------------------------------
+# Backbone parity: reference pose_hrnet / CPN modules vs ours, same weights
+# ---------------------------------------------------------------------------
+
+
+def check_backbone(kind: str, width: int = 32, batch: int = 2) -> int:
+    import numpy as np
+    import torch
+
+    import jax.numpy as jnp
+
+    from contextaware_poseformer_tpu.config import cpn_backbone, hrnet_backbone
+    from contextaware_poseformer_tpu.models.convert import convert_conv_backbone
+    from contextaware_poseformer_tpu.models.cpn import CPN
+    from contextaware_poseformer_tpu.models.hrnet import HRNet
+
+    sys.path.insert(0, os.path.join(REFERENCE_ROOT, "ContextPose"))
+    torch.manual_seed(0)
+
+    if kind == "hrnet":
+        from mvn.models import pose_hrnet  # noqa: the reference module itself
+
+        c = (width, 2 * width, 4 * width, 8 * width)
+        ref_cfg = {
+            "PRETRAINED_LAYERS": ["*"],
+            "STAGE2": {"NUM_MODULES": 1, "NUM_BRANCHES": 2, "BLOCK": "BASIC",
+                       "NUM_BLOCKS": [4, 4], "NUM_CHANNELS": list(c[:2]),
+                       "FUSE_METHOD": "SUM"},
+            "STAGE3": {"NUM_MODULES": 4, "NUM_BRANCHES": 3, "BLOCK": "BASIC",
+                       "NUM_BLOCKS": [4, 4, 4], "NUM_CHANNELS": list(c[:3]),
+                       "FUSE_METHOD": "SUM"},
+            "STAGE4": {"NUM_MODULES": 3, "NUM_BRANCHES": 4, "BLOCK": "BASIC",
+                       "NUM_BLOCKS": [4, 4, 4, 4], "NUM_CHANNELS": list(c),
+                       "FUSE_METHOD": "SUM"},
+        }
+        ref_model = pose_hrnet.get_pose_net(ref_cfg)
+        ours = HRNet(cfg=hrnet_backbone(width))
+        skips = (r"final_layer\.",)
+        name = f"hrnet_{width}"
+    else:
+        from mvn.models.networks import network
+
+        ref_model = network.CPN50((64, 48), 17, pretrained=False)
+        ours = CPN(cfg=cpn_backbone())
+        skips = (r"global_net\.predict\.", r"refine_net\.final_predict\.")
+        name = "cpn"
+
+    # randomize BN running stats so the frozen-BN fold is non-trivial
+    for m in ref_model.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.normal_(0, 0.1)
+            m.running_var.uniform_(0.5, 1.5)
+    ref_model.eval()
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(batch, 256, 192, 3).astype(np.float32) * 0.5
+    with torch.no_grad():
+        ref_out = ref_model(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    ref_out = [np.transpose(o.numpy(), (0, 2, 3, 1)) for o in ref_out]
+
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    import jax
+
+    shapes = jax.eval_shape(
+        ours.init, jax.random.PRNGKey(0), jnp.zeros((1, 256, 192, 3))
+    )["params"]
+    params = {"params": convert_conv_backbone(sd, shapes, skip_patterns=skips)}
+    out = ours.apply(params, jnp.asarray(x))
+
+    worst = 0.0
+    for lvl, (a, b) in enumerate(zip(out, ref_out)):
+        a = np.asarray(a)
+        assert a.shape == b.shape, (lvl, a.shape, b.shape)
+        rel = np.abs(a - b).max() / np.sqrt(np.mean(b**2))
+        worst = max(worst, float(rel))
+        print(f"{name} level {lvl}: shape {a.shape}, rel-to-RMS {rel:.3e}")
+    ok = worst < 1e-4
+    print("BACKBONE PARITY", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
