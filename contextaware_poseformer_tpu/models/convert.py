@@ -225,12 +225,19 @@ def convert_lifter(
     return out
 
 
+BACKBONE_SKIPS = {
+    "hrnet": (r"final_layer\.",),
+    "cpn": (r"global_net\.predict\.", r"refine_net\.final_predict\."),
+}
+
+
 def convert_composite(
     state_dict: Mapping[str, np.ndarray],
     backbone_params: Mapping[str, Any],
     depth: int,
     levels: int = 4,
     use_deformable: bool = True,
+    backbone_kind: str = "hrnet",
 ) -> dict[str, Any]:
     """CA_PF checkpoint {backbone.*, volume_net.*} -> {backbone, lifter}."""
     backbone_sd = {
@@ -239,7 +246,10 @@ def convert_composite(
         if k.startswith("backbone.")
     }
     return {
-        "backbone": convert_conv_backbone(backbone_sd, backbone_params),
+        "backbone": convert_conv_backbone(
+            backbone_sd, backbone_params,
+            skip_patterns=BACKBONE_SKIPS[backbone_kind],
+        ),
         "lifter": convert_lifter(
             state_dict,
             depth=depth,

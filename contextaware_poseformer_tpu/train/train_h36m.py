@@ -163,6 +163,7 @@ def main(argv=None):
             depth=cfg.model.lifter.depth,
             levels=cfg.model.lifter.levels,
             use_deformable=cfg.model.lifter.use_deformable,
+            backbone_kind=cfg.model.backbone.kind,
         )
         from contextaware_poseformer_tpu.parallel import param_shardings
 

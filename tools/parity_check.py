@@ -90,7 +90,7 @@ def main(argv=None):
     p.add_argument("--mpi", action="store_true",
                    help="check the 3DHP (no-deformable) variant")
     p.add_argument("--component", default="lifter",
-                   choices=["lifter", "backbone"])
+                   choices=["lifter", "backbone", "composite"])
     p.add_argument("--batch", type=int, default=3)
     args = p.parse_args(argv)
 
@@ -101,6 +101,11 @@ def main(argv=None):
         kind = "cpn" if args.backbone == "cpn" else "hrnet"
         width = 48 if args.backbone == "hrnet_48" else 32
         return check_backbone(kind, width, args.batch)
+    if args.component == "composite":
+        if not os.path.isdir(REFERENCE_ROOT):
+            print("SKIP: /root/reference not present")
+            return 0
+        return check_composite(args.backbone, args.batch)
 
     if not os.path.isdir(REFERENCE_ROOT):
         print("SKIP: /root/reference not present")
@@ -266,6 +271,111 @@ def check_backbone(kind: str, width: int = 32, batch: int = 2) -> int:
         print(f"{name} level {lvl}: shape {a.shape}, rel-to-RMS {rel:.3e}")
     ok = worst < 1e-4
     print("BACKBONE PARITY", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+
+# ---------------------------------------------------------------------------
+# Full composite parity: reference CA_PF vs ContextAwarePoseFormer
+# ---------------------------------------------------------------------------
+
+
+class _AD(dict):
+    """Minimal attribute-dict (the reference's easydict usage surface)."""
+
+    __getattr__ = dict.__getitem__
+
+
+def check_composite(backbone: str = "hrnet_32", batch: int = 2) -> int:
+    import numpy as np
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from contextaware_poseformer_tpu.config import preset
+    from contextaware_poseformer_tpu.models import ContextAwarePoseFormer
+    from contextaware_poseformer_tpu.models.convert import convert_composite
+
+    _stub_timm()
+    sys.path.insert(0, os.path.join(REFERENCE_ROOT, "ContextPose"))
+    from mvn.models import conpose  # the reference composite itself
+
+    ours_cfg = preset(f"h36m_{backbone}")
+    bb = ours_cfg.model.backbone
+    width = bb.width
+
+    c = (width, 2 * width, 4 * width, 8 * width)
+    ref_cfg = _AD(model=_AD(
+        backbone=_AD(
+            type=backbone, fix_weights=True, num_joints=17,
+            PRETRAINED_LAYERS=["*"],
+            STAGE2=_AD(NUM_MODULES=1, NUM_BRANCHES=2, BLOCK="BASIC",
+                       NUM_BLOCKS=[4, 4], NUM_CHANNELS=list(c[:2]),
+                       FUSE_METHOD="SUM"),
+            STAGE3=_AD(NUM_MODULES=4, NUM_BRANCHES=3, BLOCK="BASIC",
+                       NUM_BLOCKS=[4, 4, 4], NUM_CHANNELS=list(c[:3]),
+                       FUSE_METHOD="SUM"),
+            STAGE4=_AD(NUM_MODULES=3, NUM_BRANCHES=4, BLOCK="BASIC",
+                       NUM_BLOCKS=[4, 4, 4, 4], NUM_CHANNELS=list(c),
+                       FUSE_METHOD="SUM"),
+        ),
+        poseformer=_AD(
+            base_dim=width if bb.kind == "hrnet" else 256,
+            embed_dim_ratio=ours_cfg.model.lifter.embed_dim_ratio,
+            depth=ours_cfg.model.lifter.depth,
+            levels=ours_cfg.model.lifter.levels,
+        ),
+    ))
+
+    torch.manual_seed(0)
+    ref_model = conpose.CA_PF(ref_cfg, device="cpu")
+    for m in ref_model.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.normal_(0, 0.1)
+            m.running_var.uniform_(0.5, 1.5)
+    ref_model.eval()
+
+    rng = np.random.RandomState(0)
+    imgs = rng.randn(batch, 256, 192, 3).astype(np.float32) * 0.5
+    kp2d = rng.uniform(-1, 1, (batch, 17, 2)).astype(np.float32)
+    kpc = rng.uniform(0, 192, (batch, 17, 2)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_out = ref_model(
+            torch.from_numpy(imgs), torch.from_numpy(kp2d),
+            torch.from_numpy(kpc.copy()),  # CA_PF mutates this in place
+        ).reshape(batch, 17, 3).numpy()
+
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    ours = ContextAwarePoseFormer(cfg=ours_cfg.model)
+    shapes = jax.eval_shape(
+        ours.init, jax.random.PRNGKey(0),
+        jnp.zeros((1, 256, 192, 3)), jnp.zeros((1, 17, 2)),
+        jnp.zeros((1, 17, 2)),
+    )["params"]
+    params = convert_composite(
+        sd, shapes["backbone"], depth=ours_cfg.model.lifter.depth,
+        levels=ours_cfg.model.lifter.levels,
+        use_deformable=ours_cfg.model.lifter.use_deformable,
+        backbone_kind=bb.kind,
+    )
+    import dataclasses
+
+    ours = ContextAwarePoseFormer(
+        cfg=dataclasses.replace(
+            ours_cfg.model,
+            lifter=dataclasses.replace(ours_cfg.model.lifter, sampler="gather"),
+        )
+    )
+    out = np.asarray(
+        ours.apply({"params": params}, jnp.asarray(imgs), jnp.asarray(kp2d),
+                   jnp.asarray(kpc))
+    )
+    rel = np.abs(out - ref_out).max() / np.sqrt(np.mean(ref_out**2))
+    print(f"composite {backbone}: max rel-to-RMS {rel:.3e}")
+    ok = rel < 1e-4
+    print("COMPOSITE PARITY", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 
 
