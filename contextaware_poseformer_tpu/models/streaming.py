@@ -19,7 +19,7 @@ smoothing on the host without breaking the stateless compiled graph.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Iterator, Sequence
+from typing import Iterator
 
 import jax
 import jax.numpy as jnp

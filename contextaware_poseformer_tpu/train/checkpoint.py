@@ -12,9 +12,6 @@ pods preempt), and `best` tracks the reference's best-P1 policy.
 from __future__ import annotations
 
 import os
-from typing import Any
-
-import jax
 import numpy as np
 import orbax.checkpoint as ocp
 

@@ -15,7 +15,7 @@ import json
 import os
 import subprocess
 import time
-from typing import Any, Callable
+from typing import Any
 
 import jax
 import numpy as np

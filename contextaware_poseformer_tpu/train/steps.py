@@ -19,7 +19,6 @@ device_put (data/pipeline.py).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable, NamedTuple
 
 import jax

@@ -104,7 +104,6 @@ def build_argparser():
 
 
 def make_config(args):
-    from contextaware_poseformer_tpu import config as cfglib
     from contextaware_poseformer_tpu.train.train_h36m import make_config as _mk
 
     # reuse the H36M arg plumbing for shared fields
