@@ -41,8 +41,21 @@ def main() -> None:
     from contextaware_poseformer_tpu.data import augment
     from contextaware_poseformer_tpu.models import ContextAwarePoseFormer
 
+    from dataclasses import replace
+
     cfg = preset("h36m_hrnet_32")
-    model = ContextAwarePoseFormer(cfg=cfg.model, dtype=jnp.bfloat16)
+    # deployment numerics: bf16 backbone + bf16 lifter stream (fp32 params,
+    # norms, softmax, head) + single-pass bf16 MXU sampling
+    model_cfg = replace(
+        cfg.model,
+        compute_dtype="bfloat16",
+        lifter=replace(
+            cfg.model.lifter,
+            compute_dtype="bfloat16",
+            sampler_precision="default",
+        ),
+    )
+    model = ContextAwarePoseFormer(cfg=model_cfg, dtype=jnp.bfloat16)
     h, w = cfg.model.image_shape
 
     rng = np.random.RandomState(0)

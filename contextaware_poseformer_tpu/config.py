@@ -105,6 +105,14 @@ class LifterConfig:
     # feature-sampling implementation: "gather" (jnp), "fused" (Pallas),
     # "auto" (fused on TPU, gather elsewhere)
     sampler: str = "auto"
+    # MXU precision inside the fused sampler: "highest" (fp32 passes, exact
+    # parity with the gather formulation) or "default" (bf16 passes — the
+    # right deployment mode when the backbone already computes in bf16)
+    sampler_precision: str = "highest"
+    # lifter compute dtype ("float32" for parity/training; "bfloat16" for
+    # deployment). Params, LayerNorms, softmax, and the output head always
+    # stay float32.
+    compute_dtype: str = "float32"
 
     @property
     def embed_dim(self) -> int:

@@ -70,7 +70,10 @@ class ContextAwarePoseFormer(nn.Module):
             # reference freezes backbone params (conpose.py:22-25); the lax
             # equivalent keeps grads from flowing into the conv stack.
             features = [jax.lax.stop_gradient(f) for f in features]
-        # lifter computes in fp32 regardless of backbone dtype
-        features = [f.astype(jnp.float32) for f in features]
+        # features feed the lifter in its compute dtype (fp32 on the parity
+        # path; with a bf16 lifter the bf16 backbone maps flow through
+        # uncast, skipping a full HBM round trip per level)
+        feat_dtype = jnp.dtype(self.cfg.lifter.compute_dtype)
+        features = [f.astype(feat_dtype) for f in features]
 
         return self.lifter(keypoints_2d, ref, features, deterministic)

@@ -22,7 +22,7 @@ reference's exact modes: zeros-padding for reference points
 from __future__ import annotations
 
 import math
-from typing import Sequence
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -76,6 +76,8 @@ class DeformableBlock(nn.Module):
     mlp_ratio: float = 2.0
     drop_path: float = 0.0
     sampler_impl: str = "auto"
+    sampler_precision: str = "highest"
+    dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -93,7 +95,8 @@ class DeformableBlock(nn.Module):
 
         x0, x = tokens[:, :1], tokens[:, 1:]
         residual = x
-        h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + x0)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                         name="norm1")(x + x0)
 
         weights = Linear(
             nh * ns,
@@ -118,19 +121,22 @@ class DeformableBlock(nn.Module):
             s = sample_points(
                 features[l], pos[:, l], padding_mode="border",
                 align_corners=True, impl=self.sampler_impl,
+                precision=self.sampler_precision,
             )  # (b, p, nh*ns, C_l)
-            s = Linear(head_dim, name=f"embed_proj_{l}")(s)
+            s = Linear(head_dim, dtype=self.dtype, name=f"embed_proj_{l}")(s)
             sampled.append(s)
         sampled = jnp.stack(sampled, axis=1)  # (b, levels, p, nh*ns, head_dim)
         sampled = sampled.reshape(b, levels, p, nh, ns, head_dim)
-        pooled = jnp.einsum("blphs,blphsd->blphd", weights, sampled)
-        pooled = pooled.reshape(b, levels, p, dim)
+        pooled = jnp.einsum("blphs,blphsd->blphd",
+                            weights.astype(sampled.dtype), sampled)
+        pooled = pooled.reshape(b, levels, p, dim).astype(residual.dtype)
 
         x = residual + DropPath(self.drop_path, name="drop_path1")(
             pooled, deterministic
         )
-        h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
-        h = Mlp(int(dim * self.mlp_ratio), dim, 0.0, name="mlp")(h, deterministic)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x)
+        h = Mlp(int(dim * self.mlp_ratio), dim, 0.0, dtype=self.dtype,
+                name="mlp")(h, deterministic)
         x = x + DropPath(self.drop_path, name="drop_path2")(h, deterministic)
 
         return jnp.concatenate([x0, x], axis=1)
@@ -156,27 +162,31 @@ class PoseLifter(nn.Module):
         d = cfg.embed_dim_ratio
         levels = cfg.levels
         assert len(features) == levels == len(self.feature_dims)
+        # compute dtype for the matmul stream; None = flax default (fp32)
+        dtype = None if cfg.compute_dtype == "float32" else jnp.dtype(
+            cfg.compute_dtype
+        )
 
         # stochastic depth decay 0 -> drop_path_rate (pose_dformer.py:187)
         dpr = [
             float(r) for r in np.linspace(0.0, cfg.drop_path_rate, cfg.depth)
         ]
 
-        x = Linear(d, name="coord_embed")(keypoints_2d)  # (b, p, d)
+        x = Linear(d, dtype=dtype, name="coord_embed")(keypoints_2d)  # (b,p,d)
 
         level_tokens = [x]
         for l in range(levels):
             s = sample_points(
                 features[l], ref, padding_mode="zeros", align_corners=True,
-                impl=cfg.sampler,
+                impl=cfg.sampler, precision=cfg.sampler_precision,
             )  # (b, p, C_l)
-            level_tokens.append(Linear(d, name=f"feat_embed_{l}")(s))
+            level_tokens.append(Linear(d, dtype=dtype, name=f"feat_embed_{l}")(s))
         tokens = jnp.stack(level_tokens, axis=1)  # (b, levels+1, p, d)
 
         pos_embed = self.param(
             "pos_embed", nn.initializers.zeros, (1, levels + 1, p, d)
         )
-        tokens = tokens + pos_embed
+        tokens = tokens + pos_embed.astype(tokens.dtype)
         tokens = nn.Dropout(cfg.drop_rate)(tokens, deterministic=deterministic)
 
         if cfg.use_deformable:
@@ -187,6 +197,8 @@ class PoseLifter(nn.Module):
                     mlp_ratio=cfg.mlp_ratio,
                     drop_path=dpr[i],
                     sampler_impl=cfg.sampler,
+                    sampler_precision=cfg.sampler_precision,
+                    dtype=dtype,
                     name=f"context_block_{i}",
                 )(tokens, ref, features, deterministic)
 
@@ -200,6 +212,7 @@ class PoseLifter(nn.Module):
                 drop_rate=cfg.drop_rate,
                 attn_drop_rate=cfg.attn_drop_rate,
                 drop_path=dpr[i],
+                dtype=dtype,
                 name=f"res_block_{i}",
             )(t, deterministic)
 
@@ -214,10 +227,12 @@ class PoseLifter(nn.Module):
                 drop_rate=cfg.drop_rate,
                 attn_drop_rate=cfg.attn_drop_rate,
                 drop_path=dpr[i],
+                dtype=dtype,
                 name=f"joint_block_{i}",
             )(t, deterministic)
 
-        # head: LayerNorm (torch default eps=1e-5, pose_dformer.py:205-208)
-        t = nn.LayerNorm(epsilon=1e-5, name="head_norm")(t)
+        # head: LayerNorm (torch default eps=1e-5, pose_dformer.py:205-208);
+        # always fp32 for output accuracy
+        t = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="head_norm")(t)
         out = Linear(3, name="head")(t)  # (b, p, 3)
         return out

@@ -99,3 +99,33 @@ def test_cpn_composite_through_eval_step():
     pred, gt = jax.jit(steps.make_eval_step(model, cfg))(state.params, raw)
     assert pred.shape == (2, 17, 3)
     assert np.isfinite(np.asarray(pred)).all()
+
+
+def test_composite_bf16_deploy_path():
+    """Full deployment numerics (bf16 backbone + bf16 lifter stream) stays
+    close to the fp32 parity path on the same params; output is fp32 (head
+    and LayerNorms always compute in fp32)."""
+    import dataclasses
+
+    cfg = small_model_cfg()
+    deploy = dataclasses.replace(
+        cfg, lifter=dataclasses.replace(cfg.lifter, compute_dtype="bfloat16")
+    )
+    rng = np.random.RandomState(2)
+    imgs = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+    kp = jnp.asarray(rng.uniform(-1, 1, (2, 17, 2)).astype(np.float32))
+    kpc = jnp.asarray(rng.uniform(0, 64, (2, 17, 2)).astype(np.float32))
+
+    m32 = ContextAwarePoseFormer(cfg=cfg)
+    params = m32.init(jax.random.PRNGKey(0), imgs, kp, kpc)
+    out32 = m32.apply(params, imgs, kp, kpc)
+
+    m16 = ContextAwarePoseFormer(cfg=deploy)
+    out16 = m16.apply(params, imgs, kp, kpc)
+    assert out16.dtype == jnp.float32
+    # bf16 stream through 12 blocks: loose tolerance; trained-model P1 deltas
+    # measured at <0.1 mm (PERF.md deploy-numerics note)
+    np.testing.assert_allclose(
+        np.asarray(out16), np.asarray(out32), rtol=0.1, atol=0.02
+    )
+

@@ -63,3 +63,16 @@ def test_dispatcher():
                                atol=1e-6)
     with pytest.raises(ValueError):
         sample_points(feats, pts, impl="nope")
+
+
+def test_fused_default_precision_close_to_gather():
+    """precision='default' (single bf16 MXU pass) tracks the exact result
+    within bf16 rounding — the deployment mode for bf16 backbones."""
+    rng = np.random.RandomState(3)
+    feats = jnp.asarray(rng.randn(2, 8, 8, 32).astype(np.float32))
+    pts = jnp.asarray(rng.uniform(-0.9, 0.9, (2, 7, 2)).astype(np.float32))
+    exact = sample_points(feats, pts, impl="gather")
+    approx = sample_points(feats, pts, impl="fused_interpret",
+                           precision="default")
+    np.testing.assert_allclose(np.asarray(approx), np.asarray(exact),
+                               rtol=0.03, atol=0.03)
