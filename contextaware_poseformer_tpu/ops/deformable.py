@@ -97,6 +97,73 @@ def _sample_kernel(pts_ref, f_ref, out_ref, *, h, w, c, border, align_corners,
         ).astype(out_ref.dtype)
 
 
+def _sample_kernel_2stage(pts_ref, fh_ref, out_ref, *, h, w, c, border,
+                          align_corners, precision):
+    """Separable variant: row-mix matmul then in-VMEM column reduction.
+
+    The one-stage kernel's dot has N = C output lanes; for the large
+    small-channel levels (64x48x32: N=32 -> 25% lane utilization, measured
+    24 TFLOP/s) it pays to first interpolate rows with
+    G = R(P, H) @ F(H, W*C)  (N = W*C, full lanes), weight columns
+    elementwise with the expanded column mix, and reduce the W axis with a
+    one-hot (W*C, C) selection matmul. Measured 2.4x faster than one-stage
+    on the 64x48x32 level (an unrolled slice-accumulate column blend was
+    tried first and is instruction-bound: 962us vs 250us vs 599us one-stage).
+    Same math, same out-of-bounds semantics (a one-hot row/col for an index
+    outside [0, size) matches nothing).
+    """
+    pts = pts_ref[0]  # (P, 2)
+    fh = fh_ref[0]  # (H, W*C)
+    p = pts.shape[0]
+
+    def unnormalize(coord, size):
+        if align_corners:
+            return (coord + 1.0) * 0.5 * (size - 1)
+        return ((coord + 1.0) * size - 1.0) * 0.5
+
+    x = unnormalize(pts[:, 0], w)
+    y = unnormalize(pts[:, 1], h)
+    if border:
+        x = jnp.clip(x, 0.0, w - 1)
+        y = jnp.clip(y, 0.0, h - 1)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = (x - x0)[:, None]
+    wy = (y - y0)[:, None]
+    x0i = x0.astype(jnp.int32)[:, None]
+    y0i = y0.astype(jnp.int32)[:, None]
+
+    h_idx = jax.lax.broadcasted_iota(jnp.int32, (p, h), 1)
+    rowv = jnp.where(h_idx == y0i, 1.0 - wy, 0.0) + jnp.where(
+        h_idx == y0i + 1, wy, 0.0
+    )  # (P, H)
+    # expanded column mix: colv_exp[p, w*C + c] = colv[p, w]
+    w_exp = jax.lax.broadcasted_iota(jnp.int32, (p, w * c), 1) // c
+    colv_exp = jnp.where(w_exp == x0i, 1.0 - wx, 0.0) + jnp.where(
+        w_exp == x0i + 1, wx, 0.0
+    )  # (P, W*C)
+    # one-hot W-axis reduction: S[w*C + c, c'] = (c == c')
+    ci = jax.lax.broadcasted_iota(jnp.int32, (w * c, c), 0) % c
+    cj = jax.lax.broadcasted_iota(jnp.int32, (w * c, c), 1)
+    sel = jnp.where(ci == cj, 1.0, 0.0)
+
+    if precision == "highest":
+        g = jnp.dot(rowv, fh.astype(jnp.float32),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+        out = jnp.dot(g * colv_exp, sel,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+    else:
+        g = jnp.dot(rowv.astype(jnp.bfloat16), fh.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+        out = jnp.dot((g * colv_exp).astype(jnp.bfloat16),
+                      sel.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
 def _sample_fused_fwd_impl(
     features: jax.Array, points: jax.Array, *, padding_mode: str,
     align_corners: bool, interpret: bool, precision: str = "highest",
@@ -109,30 +176,48 @@ def _sample_fused_fwd_impl(
     if p_pad != p:
         pts = jnp.pad(pts, ((0, 0), (0, p_pad - p), (0, 0)))
 
-    kernel = functools.partial(
-        _sample_kernel, h=h, w=w, c=c,
-        border=padding_mode == "border", align_corners=align_corners,
-        precision=precision,
-    )
+    # shape-based dispatch: the separable kernel wins when the map is large
+    # and the channel count underfills the 128 output lanes; the one-stage
+    # dot is already lane-full for C >= 128 maps
+    two_stage = h * w >= 512 and c < 128
+    if two_stage:
+        kernel = functools.partial(
+            _sample_kernel_2stage, h=h, w=w, c=c,
+            border=padding_mode == "border", align_corners=align_corners,
+            precision=precision,
+        )
+        f_in = features.reshape(b, h, w * c)
+        f_spec = pl.BlockSpec((1, h, w * c), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+        flops = 2 * b * p_pad * h * (w * c + c)
+    else:
+        kernel = functools.partial(
+            _sample_kernel, h=h, w=w, c=c,
+            border=padding_mode == "border", align_corners=align_corners,
+            precision=precision,
+        )
+        f_in = features.reshape(b, h * w, c)
+        f_spec = pl.BlockSpec((1, h * w, c), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+        flops = 2 * b * p_pad * h * w * c
     out = pl.pallas_call(
         kernel,
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, p_pad, 2), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h * w, c), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            f_spec,
         ],
         out_specs=pl.BlockSpec((1, p_pad, c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, p_pad, c), features.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * p_pad * h * w * c,
+            flops=flops,
             bytes_accessed=b * (h * w * c + p_pad * (2 + c)) * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(pts, features.reshape(b, h * w, c))
+    )(pts, f_in)
     return out[:, :p].reshape(*batch_shape, c)
 
 

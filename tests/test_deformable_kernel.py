@@ -76,3 +76,17 @@ def test_fused_default_precision_close_to_gather():
                            precision="default")
     np.testing.assert_allclose(np.asarray(approx), np.asarray(exact),
                                rtol=0.03, atol=0.03)
+
+
+@pytest.mark.parametrize("mode", ["zeros", "border"])
+def test_fused_two_stage_path_matches_gather(mode):
+    """Maps with h*w >= 512 and c < 128 dispatch to the separable
+    (row-matmul + column-blend) kernel; same math incl. out-of-bounds."""
+    rng = np.random.RandomState(4)
+    feats = jnp.asarray(rng.randn(2, 32, 24, 32).astype(np.float32))
+    pts = jnp.asarray(rng.uniform(-1.2, 1.2, (2, 9, 2)).astype(np.float32))
+    exact = grid_sample.grid_sample_points(feats, pts, padding_mode=mode)
+    fused = sample_points(feats, pts, padding_mode=mode,
+                          impl="fused_interpret")
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(exact),
+                               rtol=1e-5, atol=1e-6)
