@@ -177,9 +177,10 @@ def _sample_fused_fwd_impl(
         pts = jnp.pad(pts, ((0, 0), (0, p_pad - p), (0, 0)))
 
     # shape-based dispatch: the separable kernel wins when the map is large
-    # and the channel count underfills the 128 output lanes; the one-stage
-    # dot is already lane-full for C >= 128 maps
-    two_stage = h * w >= 512 and c < 128
+    # and the channel count badly underfills the 128 output lanes (measured:
+    # 2.4x on 64x48x32, but a 1.3x REGRESSION on 32x24x64 where one-stage
+    # already gets 50% lanes — hence c < 64, not c < 128)
+    two_stage = h * w >= 1024 and c < 64
     if two_stage:
         kernel = functools.partial(
             _sample_kernel_2stage, h=h, w=w, c=c,

@@ -80,10 +80,10 @@ def test_fused_default_precision_close_to_gather():
 
 @pytest.mark.parametrize("mode", ["zeros", "border"])
 def test_fused_two_stage_path_matches_gather(mode):
-    """Maps with h*w >= 512 and c < 128 dispatch to the separable
+    """Maps with h*w >= 1024 and c < 64 dispatch to the separable
     (row-matmul + column-blend) kernel; same math incl. out-of-bounds."""
     rng = np.random.RandomState(4)
-    feats = jnp.asarray(rng.randn(2, 32, 24, 32).astype(np.float32))
+    feats = jnp.asarray(rng.randn(2, 64, 48, 32).astype(np.float32))
     pts = jnp.asarray(rng.uniform(-1.2, 1.2, (2, 9, 2)).astype(np.float32))
     exact = grid_sample.grid_sample_points(feats, pts, padding_mode=mode)
     fused = sample_points(feats, pts, padding_mode=mode,
