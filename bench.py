@@ -53,6 +53,7 @@ def main() -> None:
             cfg.model.lifter,
             compute_dtype="bfloat16",
             sampler_precision="default",
+            attention="fused",
         ),
     )
     model = ContextAwarePoseFormer(cfg=model_cfg, dtype=jnp.bfloat16)

@@ -113,6 +113,12 @@ class LifterConfig:
     # deployment). Params, LayerNorms, softmax, and the output head always
     # stay float32.
     compute_dtype: str = "float32"
+    # res-block (level-axis, 5-token) attention implementation: "einsum"
+    # (XLA, parity default) or "fused" (Pallas short-sequence kernel,
+    # measured 9.8x — ops/small_attention.py). Joint blocks (17 tokens,
+    # dim 640) always use einsum: the pairwise fused form scales O(N^2)
+    # in instructions and loses there.
+    attention: str = "einsum"
 
     @property
     def embed_dim(self) -> int:

@@ -37,11 +37,33 @@ def torch_linear_bias_init(fan_in: int) -> Callable:
     return init
 
 
+class _DenseParams(nn.Module):
+    """Creates nn.Dense-compatible params (same names/shapes/init) without
+    applying them — lets fused kernels consume the raw arrays while staying
+    checkpoint-compatible with the einsum path."""
+
+    features: int
+    fan_in: int
+    use_bias: bool
+    kernel_init: Callable
+    bias_init: Callable
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", self.kernel_init,
+                            (self.fan_in, self.features))
+        bias = (self.param("bias", self.bias_init, (self.features,))
+                if self.use_bias else None)
+        return kernel, bias
+
+
 class Linear(nn.Module):
     """Dense layer with torch-default init (used throughout the lifter).
 
     `dtype` is the compute dtype (params stay float32); None keeps flax's
     promotion of input/param dtypes (float32 on the parity path).
+    With `params_only=True` the call returns (kernel, bias) instead of
+    applying — x is still used for fan_in; the param tree is identical.
     """
 
     features: int
@@ -51,13 +73,21 @@ class Linear(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, params_only: bool = False):
         fan_in = x.shape[-1]
+        kernel_init = self.kernel_init or torch_linear_kernel_init
+        bias_init = self.bias_init or torch_linear_bias_init(fan_in)
+        if params_only:
+            return _DenseParams(
+                features=self.features, fan_in=fan_in,
+                use_bias=self.use_bias, kernel_init=kernel_init,
+                bias_init=bias_init, name="dense",
+            )()
         dense = nn.Dense(
             self.features,
             use_bias=self.use_bias,
-            kernel_init=self.kernel_init or torch_linear_kernel_init,
-            bias_init=self.bias_init or torch_linear_bias_init(fan_in),
+            kernel_init=kernel_init,
+            bias_init=bias_init,
             dtype=self.dtype,
             name="dense",
         )
@@ -99,12 +129,37 @@ class Attention(nn.Module):
     attn_drop: float = 0.0
     proj_drop: float = 0.0
     dtype: Any = None
+    # "einsum" (XLA, the parity default) or "fused" (Pallas short-sequence
+    # kernel — 9.8x on the 5-token res blocks; falls back to einsum when
+    # attention/proj dropout is active since the kernel takes no rng)
+    impl: str = "einsum"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         b, n, c = x.shape
         head_dim = c // self.num_heads
         scale = head_dim**-0.5
+
+        use_fused = self.impl == "fused" and (
+            deterministic or (self.attn_drop == 0.0 and self.proj_drop == 0.0)
+        )
+        if use_fused:
+            from contextaware_poseformer_tpu.ops.small_attention import (
+                small_attention,
+            )
+
+            kq, bq = Linear(c * 3, use_bias=self.qkv_bias, name="qkv")(
+                x, params_only=True
+            )
+            kp, bp = Linear(c, name="proj")(x, params_only=True)
+            dt = self.dtype or x.dtype
+            if bq is None:
+                bq = jnp.zeros((c * 3,), dt)
+            return small_attention(
+                x.astype(dt), kq.astype(dt), bq.astype(dt), kp.astype(dt),
+                bp.astype(dt), self.num_heads,
+                jax.default_backend() != "tpu",  # interpret off-TPU
+            )
 
         qkv = Linear(c * 3, use_bias=self.qkv_bias, dtype=self.dtype,
                      name="qkv")(x)
@@ -156,6 +211,7 @@ class Block(nn.Module):
     drop_path: float = 0.0
     ln_eps: float = 1e-6
     dtype: Any = None
+    attn_impl: str = "einsum"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -169,6 +225,7 @@ class Block(nn.Module):
             attn_drop=self.attn_drop_rate,
             proj_drop=self.drop_rate,
             dtype=self.dtype,
+            impl=self.attn_impl,
             name="attn",
         )(h, deterministic)
         x = x + DropPath(self.drop_path, name="drop_path1")(h, deterministic)

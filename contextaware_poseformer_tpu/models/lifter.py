@@ -218,6 +218,7 @@ class PoseLifter(nn.Module):
                 attn_drop_rate=cfg.attn_drop_rate,
                 drop_path=dpr[i],
                 dtype=dtype,
+                attn_impl=cfg.attention,
                 name=f"res_block_{i}",
             )(t, deterministic)
 
