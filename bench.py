@@ -49,6 +49,9 @@ def main() -> None:
     model_cfg = replace(
         cfg.model,
         compute_dtype="bfloat16",
+        # int8 where both channel counts >= 128 (trained-model P1 delta
+        # +0.006 mm, PERF.md); everything else bf16
+        backbone=replace(cfg.model.backbone, quantize="c128"),
         lifter=replace(
             cfg.model.lifter,
             compute_dtype="bfloat16",
@@ -100,8 +103,9 @@ def main() -> None:
                 "metric": "single_frame_lifts_per_sec_per_chip",
                 "value": round(lifts_per_sec, 1),
                 "unit": (
-                    "frames/sec (uint8 in -> HRNet-32 bf16 + fused-Pallas "
-                    f"sampling + lifter, batch {BATCH}, best of {BURSTS} bursts)"
+                    "frames/sec (uint8 in -> HRNet-32 bf16 + int8 c>=128 "
+                    "convs + fused-Pallas sampling/attention + bf16 lifter, "
+                    f"batch {BATCH}, best of {BURSTS} bursts)"
                 ),
                 "vs_baseline": round(
                     lifts_per_sec / A100_PYTORCH_BASELINE_LIFTS_PER_SEC, 2

@@ -44,6 +44,9 @@ class BackboneConfig:
     width: int = 32  # HRNet base channels C (32|48); unused for CPN
     num_joints: int = 17
     frozen: bool = True  # reference: fix_weights=True (human36m.yaml:21)
+    # "c128": int8 dynamic-quant convs where both channel counts >= 128
+    # (deploy-only; measured 1.85x on those shapes, see PERF.md)
+    quantize: str = "none"
     stage2: HRNetStageConfig = HRNetStageConfig(1, 2, (4, 4), (32, 64))
     stage3: HRNetStageConfig = HRNetStageConfig(4, 3, (4, 4, 4), (32, 64, 128))
     stage4: HRNetStageConfig = HRNetStageConfig(

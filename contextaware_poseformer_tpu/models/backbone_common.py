@@ -28,13 +28,23 @@ from flax import linen as nn
 
 
 class ConvBN(nn.Module):
-    """Conv2d (no bias) + folded frozen BatchNorm + optional ReLU, NHWC."""
+    """Conv2d (no bias) + folded frozen BatchNorm + optional ReLU, NHWC.
+
+    `quantize="c128"` switches convs with BOTH channel counts >= 128 to an
+    int8 path (per-output-channel symmetric weight quant + dynamic
+    per-tensor activation quant, int32 accumulation). Measured 1.85x on the
+    16x12x128 HRNet branch INCLUDING the quant passes; narrower convs and
+    the mixed-width layer1 bottlenecks measured slower in int8 (PERF.md) and
+    always take the float path. The frozen backbone means the rounding is
+    inference-only — grads never flow here (stop_gradient in capf).
+    """
 
     features: int
     kernel_size: int = 3
     stride: int = 1
     relu: bool = False
     dtype: Any = jnp.float32
+    quantize: str = "none"  # "none" | "c128"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -49,14 +59,36 @@ class ConvBN(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
 
         pad = (ks - 1) // 2
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype),
-            kernel.astype(self.dtype),
-            window_strides=(self.stride, self.stride),
-            padding=[(pad, pad), (pad, pad)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        int8_path = (
+            self.quantize == "c128" and in_ch >= 128 and self.features >= 128
         )
-        y = y * scale.astype(self.dtype) + bias.astype(self.dtype)
+        if int8_path:
+            k32 = kernel.astype(jnp.float32)
+            wscale = jnp.max(jnp.abs(k32), axis=(0, 1, 2)) / 127.0  # (out,)
+            kq = jnp.round(k32 / wscale).astype(jnp.int8)
+            amax = jnp.max(jnp.abs(x)).astype(jnp.float32) / 127.0
+            xq = jnp.clip(
+                jnp.round(x.astype(jnp.float32) / amax), -127, 127
+            ).astype(jnp.int8)
+            y = jax.lax.conv_general_dilated(
+                xq, kq,
+                window_strides=(self.stride, self.stride),
+                padding=[(pad, pad), (pad, pad)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32,
+            )
+            # fold dequant scales into the BN affine
+            eff_scale = (scale * wscale * amax).astype(self.dtype)
+            y = y.astype(self.dtype) * eff_scale + bias.astype(self.dtype)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                window_strides=(self.stride, self.stride),
+                padding=[(pad, pad), (pad, pad)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            y = y * scale.astype(self.dtype) + bias.astype(self.dtype)
         if self.relu:
             y = jax.nn.relu(y)
         return y

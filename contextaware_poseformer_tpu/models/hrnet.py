@@ -44,7 +44,7 @@ class HRNet(nn.Module):
     def _conv(self, name: str, feat: int, ks: int, stride: int, relu: bool):
         return ConvBN(
             features=feat, kernel_size=ks, stride=stride, relu=relu,
-            dtype=self.dtype, name=name,
+            dtype=self.dtype, quantize=self.cfg.quantize, name=name,
         )
 
     def _basic_block(self, x, prefix: str, planes: int):

@@ -99,3 +99,44 @@ def test_converter_rejects_shape_mismatch_and_leftovers():
     extra2 = dict(sd)
     extra2["final_layer.weight"] = np.zeros((1,), np.float32)
     convert_conv_backbone(extra2, shapes)  # no raise
+
+
+def test_quantize_c128_close_and_narrow_untouched():
+    """quantize='c128' switches only convs with both channel counts >= 128
+    to int8; on a width-8 tiny config NO conv qualifies, so outputs are
+    bit-identical. On a width-32 config (branch2/3 reach 128/256 channels)
+    features stay within a few percent RMS of fp32 (trained-model P1 delta
+    measured at +0.006 mm, PERF.md)."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+
+    from contextaware_poseformer_tpu.models.hrnet import HRNet
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+
+    cfg = tiny_cfg()  # width 8: no conv qualifies
+    bb = HRNet(cfg=cfg)
+    params = bb.init(jax.random.PRNGKey(0), x)
+    base = bb.apply(params, x)
+    bbq = HRNet(cfg=dataclasses.replace(cfg, quantize="c128"))
+    quant = bbq.apply(params, x)
+    for a, b in zip(base, quant):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    cfg32 = tiny_cfg(width=32)  # branch2=128, branch3=256 qualify
+    bb = HRNet(cfg=cfg32)
+    params = bb.init(jax.random.PRNGKey(0), x)
+    base = bb.apply(params, x)
+    bbq = HRNet(cfg=dataclasses.replace(cfg32, quantize="c128"))
+    quant = bbq.apply(params, x)
+    changed = False
+    for a, b in zip(base, quant):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        rms_rel = np.sqrt(((a - b) ** 2).mean()) / (a.std() + 1e-9)
+        assert rms_rel < 0.05, rms_rel
+        changed = changed or (np.abs(a - b).max() > 0)
+    assert changed  # the int8 path actually ran
