@@ -41,24 +41,12 @@ def main() -> None:
     from contextaware_poseformer_tpu.data import augment
     from contextaware_poseformer_tpu.models import ContextAwarePoseFormer
 
-    from dataclasses import replace
+    from contextaware_poseformer_tpu.config import deploy
 
     cfg = preset("h36m_hrnet_32")
-    # deployment numerics: bf16 backbone + bf16 lifter stream (fp32 params,
-    # norms, softmax, head) + single-pass bf16 MXU sampling
-    model_cfg = replace(
-        cfg.model,
-        compute_dtype="bfloat16",
-        # int8 where both channel counts >= 128 (trained-model P1 delta
-        # +0.006 mm, PERF.md); everything else bf16
-        backbone=replace(cfg.model.backbone, quantize="c128"),
-        lifter=replace(
-            cfg.model.lifter,
-            compute_dtype="bfloat16",
-            sampler_precision="default",
-            attention="fused",
-        ),
-    )
+    # deployment numerics (bf16 stream + fused kernels + int8 c>=128 convs;
+    # measured trained-model P1 deltas < 0.03 mm — PERF.md)
+    model_cfg = deploy(cfg).model
     model = ContextAwarePoseFormer(cfg=model_cfg, dtype=jnp.bfloat16)
     h, w = cfg.model.image_shape
 

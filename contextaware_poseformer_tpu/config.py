@@ -270,6 +270,39 @@ def preset(name: str) -> Config:
     raise KeyError(f"unknown preset: {name!r}")
 
 
+def deploy(cfg: Config) -> Config:
+    """Switch a preset to deployment numerics (inference serving).
+
+    bf16 backbone + bf16 lifter stream (params, LayerNorms, softmax, and
+    the head stay fp32), single-pass bf16 MXU sampling, fused short-sequence
+    attention, and int8 for convs with both channel counts >= 128.
+    Measured accuracy cost on trained models: P1 deltas of -0.025 mm (bf16)
+    and +0.006 mm (int8) — see PERF.md. The default preset keeps full fp32
+    for training and reference-checkpoint parity.
+    """
+    return replace(
+        cfg,
+        model=replace(
+            cfg.model,
+            compute_dtype="bfloat16",
+            backbone=replace(cfg.model.backbone, quantize="c128"),
+            lifter=replace(
+                cfg.model.lifter,
+                compute_dtype="bfloat16",
+                sampler_precision="default",
+                attention="fused",
+            ),
+        ),
+    )
+
+
+def preset_or_deploy(name: str) -> Config:
+    """preset(name), or deploy(preset(base)) for names ending in '_deploy'."""
+    if name.endswith("_deploy"):
+        return deploy(preset(name[: -len("_deploy")]))
+    return preset(name)
+
+
 PRESETS = (
     "h36m_hrnet_32",
     "h36m_hrnet_48",

@@ -36,7 +36,7 @@ from contextaware_poseformer_tpu.models.layers import (
     Linear,
     Mlp,
 )
-from contextaware_poseformer_tpu.ops.deformable import sample_points
+from contextaware_poseformer_tpu.ops.deformable import sample_points_levels
 
 
 def _offset_bias_init(num_heads: int, num_samples: int):
@@ -121,15 +121,16 @@ class DeformableBlock(nn.Module):
         pos = jnp.tanh(offsets) + jnp.tile(ref[:, None, :, :], (1, levels, 1, nh * ns))
         pos = pos.reshape(b, levels, p, nh * ns, 2)
 
-        sampled = []
-        for l in range(levels):
-            s = sample_points(
-                features[l], pos[:, l], padding_mode="border",
-                align_corners=True, impl=self.sampler_impl,
-                precision=self.sampler_precision,
-            )  # (b, p, nh*ns, C_l)
-            s = Linear(head_dim, dtype=self.dtype, name=f"embed_proj_{l}")(s)
-            sampled.append(s)
+        # ONE kernel launch samples all 4 levels (per-dispatch overhead on
+        # the small levels dominated their standalone calls)
+        raw = sample_points_levels(
+            features, pos, padding_mode="border", align_corners=True,
+            impl=self.sampler_impl, precision=self.sampler_precision,
+        )  # tuple of (b, p, nh*ns, C_l)
+        sampled = [
+            Linear(head_dim, dtype=self.dtype, name=f"embed_proj_{l}")(raw[l])
+            for l in range(levels)
+        ]
         sampled = jnp.stack(sampled, axis=1)  # (b, levels, p, nh*ns, head_dim)
         sampled = sampled.reshape(b, levels, p, nh, ns, head_dim)
         pooled = jnp.einsum("blphs,blphsd->blphd",
@@ -179,13 +180,16 @@ class PoseLifter(nn.Module):
 
         x = Linear(d, dtype=dtype, name="coord_embed")(keypoints_2d)  # (b,p,d)
 
+        ref_pts = jnp.broadcast_to(ref[:, None], (b, levels, p, 2))
+        ref_samples = sample_points_levels(
+            features, ref_pts, padding_mode="zeros", align_corners=True,
+            impl=cfg.sampler, precision=cfg.sampler_precision,
+        )  # tuple of (b, p, C_l)
         level_tokens = [x]
         for l in range(levels):
-            s = sample_points(
-                features[l], ref, padding_mode="zeros", align_corners=True,
-                impl=cfg.sampler, precision=cfg.sampler_precision,
-            )  # (b, p, C_l)
-            level_tokens.append(Linear(d, dtype=dtype, name=f"feat_embed_{l}")(s))
+            level_tokens.append(
+                Linear(d, dtype=dtype, name=f"feat_embed_{l}")(ref_samples[l])
+            )
         tokens = jnp.stack(level_tokens, axis=1)  # (b, levels+1, p, d)
 
         pos_embed = self.param(

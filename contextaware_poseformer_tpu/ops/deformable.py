@@ -39,16 +39,36 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _sample_kernel(pts_ref, f_ref, out_ref, *, h, w, c, border, align_corners,
-                   precision):
-    """One batch element: pts (1, P, 2), f (1, H*W, C), both VMEM-resident.
+def _use_two_stage(h: int, w: int, c: int) -> bool:
+    """The separable kernel wins when the map is large and the channel count
+    badly underfills the 128 output lanes (measured: 2.4x on 64x48x32, but a
+    1.3x REGRESSION on 32x24x64 where one-stage already gets 50% lanes)."""
+    return h * w >= 1024 and c < 64
 
-    Builds the full bilinear mixing matrix M[p, h*W+w] = row_p(h) * col_p(w)
-    with 2D elementwise ops only (Mosaic forbids lane-folding reshapes inside
-    kernels), then one MXU matmul M @ F. M never leaves VMEM.
+
+def _sample_body(pts, f2d, *, h, w, c, border, align_corners, precision,
+                 two_stage, out_dtype):
+    """Shared in-VMEM sampling math: pts (P, 2), f2d is (H*W, C) for the
+    one-stage form or (H, W*C) for the separable two-stage form.
+
+    One-stage: build the full bilinear mixing matrix
+    M[p, h*W+w] = row_p(h) * col_p(w) with 2D elementwise ops only (Mosaic
+    forbids lane-folding reshapes inside kernels), then one MXU matmul M @ F.
+
+    Two-stage (separable): the one-stage dot has N = C output lanes; for
+    large small-channel levels (64x48x32: N=32 -> 25% lane use, 24 TFLOP/s)
+    it pays to interpolate rows first with G = R(P, H) @ F(H, W*C) (full
+    lanes), weight columns elementwise, and reduce the W axis with a one-hot
+    (W*C, C) selection matmul — 2.4x on that level (an unrolled
+    slice-accumulate column blend was tried and is instruction-bound:
+    962us vs 250us vs 599us one-stage).
+
+    Out-of-bounds falls out of the one-hot construction (an index outside
+    [0, size) matches nothing -> zeros padding); border mode clamps the
+    coordinates first. precision="highest" = fp32 MXU passes (exact parity
+    with the gather formulation); "default" = single bf16 pass with fp32
+    accumulation (~2^-8 weight rounding, the bf16-backbone deploy mode).
     """
-    pts = pts_ref[0]  # (P, 2)
-    f = f_ref[0]  # (H*W, C)
     p = pts.shape[0]
 
     def unnormalize(coord, size):
@@ -69,6 +89,34 @@ def _sample_kernel(pts_ref, f_ref, out_ref, *, h, w, c, border, align_corners,
     x0i = x0.astype(jnp.int32)[:, None]
     y0i = y0.astype(jnp.int32)[:, None]
 
+    hi = jax.lax.Precision.HIGHEST
+    if two_stage:
+        h_idx = jax.lax.broadcasted_iota(jnp.int32, (p, h), 1)
+        rowv = jnp.where(h_idx == y0i, 1.0 - wy, 0.0) + jnp.where(
+            h_idx == y0i + 1, wy, 0.0
+        )  # (P, H)
+        # expanded column mix: colv_exp[p, w*C + c] = colv[p, w]
+        w_exp = jax.lax.broadcasted_iota(jnp.int32, (p, w * c), 1) // c
+        colv_exp = jnp.where(w_exp == x0i, 1.0 - wx, 0.0) + jnp.where(
+            w_exp == x0i + 1, wx, 0.0
+        )  # (P, W*C)
+        # one-hot W-axis reduction: S[w*C + c, c'] = (c == c')
+        ci = jax.lax.broadcasted_iota(jnp.int32, (w * c, c), 0) % c
+        cj = jax.lax.broadcasted_iota(jnp.int32, (w * c, c), 1)
+        sel = jnp.where(ci == cj, 1.0, 0.0)
+        if precision == "highest":
+            g = jnp.dot(rowv, f2d.astype(jnp.float32),
+                        preferred_element_type=jnp.float32, precision=hi)
+            out = jnp.dot(g * colv_exp, sel,
+                          preferred_element_type=jnp.float32, precision=hi)
+        else:
+            g = jnp.dot(rowv.astype(jnp.bfloat16), f2d.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+            out = jnp.dot((g * colv_exp).astype(jnp.bfloat16),
+                          sel.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+        return out.astype(out_dtype)
+
     iota_hw = jax.lax.broadcasted_iota(jnp.int32, (p, h * w), 1)
     h_idx = iota_hw // w
     w_idx = iota_hw - h_idx * w
@@ -80,88 +128,30 @@ def _sample_kernel(pts_ref, f_ref, out_ref, *, h, w, c, border, align_corners,
     )
     m = rowv * colv  # (P, H*W), 4 nonzeros per row
     if precision == "highest":
-        # HIGHEST: fp32 MXU passes — exact float-tolerance parity with the
-        # gather formulation (the default; bf16 passes round the weights).
-        out_ref[0] = jnp.dot(
-            m, f.astype(jnp.float32),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        ).astype(out_ref.dtype)
+        out = jnp.dot(m, f2d.astype(jnp.float32),
+                      preferred_element_type=jnp.float32, precision=hi)
     else:
-        # "default": single bf16 MXU pass with fp32 accumulation — ~3x fewer
-        # passes. Right when the features already carry only bf16 information
-        # (bf16 backbone); weight rounding is ~2^-8 relative.
-        out_ref[0] = jnp.dot(
-            m.astype(jnp.bfloat16), f.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
-        ).astype(out_ref.dtype)
+        out = jnp.dot(m.astype(jnp.bfloat16), f2d.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+    return out.astype(out_dtype)
+
+
+def _sample_kernel(pts_ref, f_ref, out_ref, *, h, w, c, border, align_corners,
+                   precision):
+    out_ref[0] = _sample_body(
+        pts_ref[0], f_ref[0], h=h, w=w, c=c, border=border,
+        align_corners=align_corners, precision=precision, two_stage=False,
+        out_dtype=out_ref.dtype,
+    )
 
 
 def _sample_kernel_2stage(pts_ref, fh_ref, out_ref, *, h, w, c, border,
                           align_corners, precision):
-    """Separable variant: row-mix matmul then in-VMEM column reduction.
-
-    The one-stage kernel's dot has N = C output lanes; for the large
-    small-channel levels (64x48x32: N=32 -> 25% lane utilization, measured
-    24 TFLOP/s) it pays to first interpolate rows with
-    G = R(P, H) @ F(H, W*C)  (N = W*C, full lanes), weight columns
-    elementwise with the expanded column mix, and reduce the W axis with a
-    one-hot (W*C, C) selection matmul. Measured 2.4x faster than one-stage
-    on the 64x48x32 level (an unrolled slice-accumulate column blend was
-    tried first and is instruction-bound: 962us vs 250us vs 599us one-stage).
-    Same math, same out-of-bounds semantics (a one-hot row/col for an index
-    outside [0, size) matches nothing).
-    """
-    pts = pts_ref[0]  # (P, 2)
-    fh = fh_ref[0]  # (H, W*C)
-    p = pts.shape[0]
-
-    def unnormalize(coord, size):
-        if align_corners:
-            return (coord + 1.0) * 0.5 * (size - 1)
-        return ((coord + 1.0) * size - 1.0) * 0.5
-
-    x = unnormalize(pts[:, 0], w)
-    y = unnormalize(pts[:, 1], h)
-    if border:
-        x = jnp.clip(x, 0.0, w - 1)
-        y = jnp.clip(y, 0.0, h - 1)
-
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    wx = (x - x0)[:, None]
-    wy = (y - y0)[:, None]
-    x0i = x0.astype(jnp.int32)[:, None]
-    y0i = y0.astype(jnp.int32)[:, None]
-
-    h_idx = jax.lax.broadcasted_iota(jnp.int32, (p, h), 1)
-    rowv = jnp.where(h_idx == y0i, 1.0 - wy, 0.0) + jnp.where(
-        h_idx == y0i + 1, wy, 0.0
-    )  # (P, H)
-    # expanded column mix: colv_exp[p, w*C + c] = colv[p, w]
-    w_exp = jax.lax.broadcasted_iota(jnp.int32, (p, w * c), 1) // c
-    colv_exp = jnp.where(w_exp == x0i, 1.0 - wx, 0.0) + jnp.where(
-        w_exp == x0i + 1, wx, 0.0
-    )  # (P, W*C)
-    # one-hot W-axis reduction: S[w*C + c, c'] = (c == c')
-    ci = jax.lax.broadcasted_iota(jnp.int32, (w * c, c), 0) % c
-    cj = jax.lax.broadcasted_iota(jnp.int32, (w * c, c), 1)
-    sel = jnp.where(ci == cj, 1.0, 0.0)
-
-    if precision == "highest":
-        g = jnp.dot(rowv, fh.astype(jnp.float32),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
-        out = jnp.dot(g * colv_exp, sel,
-                      preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
-    else:
-        g = jnp.dot(rowv.astype(jnp.bfloat16), fh.astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32)
-        out = jnp.dot((g * colv_exp).astype(jnp.bfloat16),
-                      sel.astype(jnp.bfloat16),
-                      preferred_element_type=jnp.float32)
-    out_ref[0] = out.astype(out_ref.dtype)
+    out_ref[0] = _sample_body(
+        pts_ref[0], fh_ref[0], h=h, w=w, c=c, border=border,
+        align_corners=align_corners, precision=precision, two_stage=True,
+        out_dtype=out_ref.dtype,
+    )
 
 
 def _sample_fused_fwd_impl(
@@ -287,4 +277,169 @@ def sample_points(
     if impl == "fused_interpret":
         return sample_points_fused(features, points, padding_mode,
                                    align_corners, True, precision)
+    raise ValueError(impl)
+
+
+# ---------------------------------------------------------------------------
+# Multi-level fusion: one pallas_call sampling ALL pyramid levels at once
+# (each DeformableBlock samples 4 levels with the same point count; the
+# smaller levels' standalone calls are dominated by fixed per-dispatch cost)
+# ---------------------------------------------------------------------------
+
+
+def _sample_multi_kernel(pts_ref, *rest, shapes, border, align_corners,
+                         precision):
+    """pts (1, L*P_pad, 2) packed level-major; rest = L feature refs then
+    L output refs. Runs the per-level sampling bodies back to back."""
+    levels = len(shapes)
+    f_refs = rest[:levels]
+    out_refs = rest[levels:]
+    p_pad = pts_ref.shape[1] // levels
+    for l, (h, w, c) in enumerate(shapes):
+        pts = pts_ref[0, l * p_pad:(l + 1) * p_pad]
+        out_refs[l][0] = _sample_body(
+            pts, f_refs[l][0], h=h, w=w, c=c, border=border,
+            align_corners=align_corners, precision=precision,
+            two_stage=_use_two_stage(h, w, c), out_dtype=out_refs[l].dtype,
+        )
+
+
+def _multi_fwd_impl(features, points, *, padding_mode, align_corners,
+                    interpret, precision):
+    levels = len(features)
+    b = features[0].shape[0]
+    batch_shape = points.shape[2:-1]  # points: (b, L, ..., 2)
+    pts = points.reshape(b, levels, -1, 2)
+    p = pts.shape[2]
+    p_pad = _round_up(max(p, 8), 8)
+    if p_pad != p:
+        pts = jnp.pad(pts, ((0, 0), (0, 0), (0, p_pad - p), (0, 0)))
+    pts = pts.reshape(b, levels * p_pad, 2)
+
+    shapes = tuple(f.shape[1:] for f in features)
+    f_ins, f_specs = [], []
+    for f in features:
+        _, h, w, c = f.shape
+        if _use_two_stage(h, w, c):
+            f_ins.append(f.reshape(b, h, w * c))
+            f_specs.append(pl.BlockSpec((1, h, w * c), lambda i: (i, 0, 0),
+                                        memory_space=pltpu.VMEM))
+        else:
+            f_ins.append(f.reshape(b, h * w, c))
+            f_specs.append(pl.BlockSpec((1, h * w, c), lambda i: (i, 0, 0),
+                                        memory_space=pltpu.VMEM))
+
+    kernel = functools.partial(
+        _sample_multi_kernel, shapes=shapes,
+        border=padding_mode == "border", align_corners=align_corners,
+        precision=precision,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, levels * p_pad, 2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            *f_specs,
+        ],
+        out_specs=[
+            pl.BlockSpec((1, p_pad, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for (_, _, c) in shapes
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, p_pad, c), f.dtype)
+            for f, (_, _, c) in zip(features, shapes)
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=sum(2 * b * p_pad * h * w * c for (h, w, c) in shapes),
+            bytes_accessed=sum(
+                b * (h * w * c + p_pad * (2 + c)) * 4 for (h, w, c) in shapes
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(pts, *f_ins)
+    return tuple(
+        o[:, :p].reshape(b, *batch_shape, c)
+        for o, (_, _, c) in zip(outs, shapes)
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def sample_points_multi(
+    features: tuple,
+    points: jax.Array,  # (b, L, ..., 2) — per-level point sets, same count
+    padding_mode: str = "zeros",
+    align_corners: bool = True,
+    interpret: bool = False,
+    precision: str = "highest",
+) -> tuple:
+    """Sample L feature levels in ONE kernel launch.
+
+    features: tuple of L NHWC maps (same batch, any H/W/C per level);
+    points[:, l] are the sample locations for level l. Returns a tuple of
+    (b, ..., C_l). Math identical to per-level sample_points (each level
+    independently picks the one-stage or separable body).
+    """
+    return _multi_fwd_impl(
+        tuple(features), points, padding_mode=padding_mode,
+        align_corners=align_corners, interpret=interpret, precision=precision,
+    )
+
+
+def _multi_fwd(features, points, padding_mode, align_corners, interpret,
+               precision):
+    out = _multi_fwd_impl(
+        tuple(features), points, padding_mode=padding_mode,
+        align_corners=align_corners, interpret=interpret, precision=precision,
+    )
+    return out, (tuple(features), points)
+
+
+def _multi_bwd(padding_mode, align_corners, interpret, precision, residuals,
+               grads):
+    features, points = residuals
+
+    def ref_fn(feats, pts):
+        return tuple(
+            grid_sample.grid_sample_points(
+                f, pts[:, l], padding_mode=padding_mode,
+                align_corners=align_corners,
+            )
+            for l, f in enumerate(feats)
+        )
+
+    _, vjp = jax.vjp(ref_fn, features, points)
+    return vjp(tuple(grads))
+
+
+sample_points_multi.defvjp(_multi_fwd, _multi_bwd)
+
+
+def sample_points_levels(
+    features,
+    points: jax.Array,  # (b, L, ..., 2)
+    padding_mode: str = "zeros",
+    align_corners: bool = True,
+    impl: str = "auto",
+    precision: str = "highest",
+) -> tuple:
+    """Level-set dispatcher: one fused kernel launch on TPU, per-level jnp
+    gathers elsewhere (same dispatch contract as sample_points)."""
+    if impl == "auto":
+        impl = "fused" if jax.default_backend() == "tpu" else "gather"
+    if impl == "gather":
+        return tuple(
+            grid_sample.grid_sample_points(
+                f, points[:, l], padding_mode=padding_mode,
+                align_corners=align_corners,
+            )
+            for l, f in enumerate(features)
+        )
+    if impl in ("fused", "fused_interpret"):
+        return sample_points_multi(
+            tuple(features), points, padding_mode, align_corners,
+            impl == "fused_interpret", precision,
+        )
     raise ValueError(impl)

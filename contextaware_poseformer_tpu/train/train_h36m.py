@@ -56,7 +56,9 @@ def build_argparser() -> argparse.ArgumentParser:
 def make_config(args):
     from contextaware_poseformer_tpu import config as cfglib
 
-    cfg = cfglib.preset(args.preset)
+    # "<name>_deploy" selects deployment numerics (config.deploy) — useful
+    # for --eval serving-throughput runs; training keeps fp32 presets
+    cfg = cfglib.preset_or_deploy(args.preset)
     if args.config:
         cfg = cfglib.load_config(args.config, base=cfg)
     train_overrides = {}

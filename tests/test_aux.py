@@ -111,3 +111,21 @@ def test_sustained_timer_and_trace(tmp_path):
         prof.step()
     prof.close()
     assert os.path.exists(str(tmp_path / "w"))
+
+
+def test_deploy_preset_and_suffix():
+    from contextaware_poseformer_tpu import config as cfglib
+
+    base = cfglib.preset("h36m_hrnet_32")
+    dep = cfglib.deploy(base)
+    assert dep.model.compute_dtype == "bfloat16"
+    assert dep.model.backbone.quantize == "c128"
+    assert dep.model.lifter.compute_dtype == "bfloat16"
+    assert dep.model.lifter.sampler_precision == "default"
+    assert dep.model.lifter.attention == "fused"
+    # training recipe untouched
+    assert dep.train == base.train
+
+    via_suffix = cfglib.preset_or_deploy("h36m_hrnet_32_deploy")
+    assert via_suffix == dep
+    assert cfglib.preset_or_deploy("h36m_hrnet_32") == base

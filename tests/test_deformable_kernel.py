@@ -90,3 +90,42 @@ def test_fused_two_stage_path_matches_gather(mode):
                           impl="fused_interpret")
     np.testing.assert_allclose(np.asarray(fused), np.asarray(exact),
                                rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["zeros", "border"])
+def test_multi_level_fused_matches_per_level(mode):
+    """sample_points_levels (one kernel launch for all pyramid levels) must
+    match per-level gathers exactly, including grads."""
+    from contextaware_poseformer_tpu.ops.deformable import (
+        sample_points_levels,
+    )
+
+    rng = np.random.RandomState(5)
+    b, p = 2, 11
+    dims = ((64, 48, 32), (32, 24, 64), (16, 12, 128), (8, 6, 256))
+    feats = tuple(
+        jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+        for h, w, c in dims
+    )
+    pts = jnp.asarray(
+        rng.uniform(-1.2, 1.2, (b, len(dims), p, 2)).astype(np.float32)
+    )
+
+    ref = sample_points_levels(feats, pts, padding_mode=mode, impl="gather")
+    fused = sample_points_levels(feats, pts, padding_mode=mode,
+                                 impl="fused_interpret")
+    for a, c in zip(ref, fused):
+        np.testing.assert_allclose(np.asarray(c), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)
+
+    def loss(fn):
+        return lambda fs, ps: sum(
+            jnp.sum(o ** 2) for o in sample_points_levels(
+                fs, ps, padding_mode=mode, impl=fn)
+        )
+
+    g_ref = jax.grad(loss("gather"), argnums=(0, 1))(feats, pts)
+    g_fus = jax.grad(loss("fused_interpret"), argnums=(0, 1))(feats, pts)
+    for a, c in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_fus)):
+        np.testing.assert_allclose(np.asarray(c), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
