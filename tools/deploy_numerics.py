@@ -1,0 +1,147 @@
+"""Reproducible evidence for the deployment-numerics accuracy claims.
+
+Two measurements (PERF.md cites the numbers these produce):
+
+1. full-size output deltas: the flagship composite, same random-init params,
+   fp32 parity config vs config.deploy (bf16 stream + fused kernels + int8
+   c>=128 convs), reported in mm of root-relative 3D output. Random init is
+   the PESSIMISTIC regime — the head LayerNorm amplifies precision noise
+   that trained weights suppress.
+2. trained-model P1 A/B: trains a small model on the synthetic
+   geometric-consistency task (data/synthetic.py), then evaluates P1 with
+   both numerics on the same trained params. This is the number that
+   actually matters for serving. Width 32 so the int8 c>=128 rule engages
+   (branch2=128ch, branch3=256ch).
+
+    python tools/deploy_numerics.py            # both, CPU-friendly
+    python tools/deploy_numerics.py --skip-trained
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def output_delta():
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from contextaware_poseformer_tpu import config as cfglib
+    from contextaware_poseformer_tpu.models import ContextAwarePoseFormer
+
+    cfg = cfglib.preset("h36m_hrnet_32")
+    b = 4
+    h, w = cfg.model.image_shape
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.randn(b, h, w, 3).astype(np.float32))
+    kp = jnp.asarray(rng.uniform(-1, 1, (b, 17, 2)).astype(np.float32))
+    kpc = jnp.asarray(rng.uniform(0, w, (b, 17, 2)).astype(np.float32))
+
+    m32 = ContextAwarePoseFormer(cfg=cfg.model)
+    params = m32.init(jax.random.PRNGKey(0), imgs[:1], kp[:1], kpc[:1])
+    out32 = np.asarray(m32.apply(params, imgs, kp, kpc), np.float64)
+
+    dep = cfglib.deploy(cfg).model
+    mdep = ContextAwarePoseFormer(cfg=dep, dtype=jnp.bfloat16)
+    outd = np.asarray(mdep.apply(params, imgs, kp, kpc), np.float64)
+
+    d = np.abs(out32 - outd) * 1000
+    print(f"full-size random-init output delta (PESSIMISTIC): "
+          f"max {d.max():.3f} mm, mean {d.mean():.3f} mm "
+          f"(output scale {np.abs(out32).mean() * 1000:.1f} mm)")
+
+
+def trained_ab(steps_n: int = 250):
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from contextaware_poseformer_tpu import config as cfglib
+    from contextaware_poseformer_tpu.config import (
+        BackboneConfig,
+        HRNetStageConfig,
+        LifterConfig,
+    )
+    from contextaware_poseformer_tpu.data.synthetic import SyntheticPoseDataset
+    from contextaware_poseformer_tpu.models import ContextAwarePoseFormer
+    from contextaware_poseformer_tpu.train import steps
+
+    w = 32
+    c = (w, 2 * w, 4 * w, 8 * w)
+    cfg = cfglib.preset("h36m_hrnet_32")
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model,
+            backbone=BackboneConfig(
+                kind="hrnet", width=w,
+                stage2=HRNetStageConfig(1, 2, (2, 2), c[:2]),
+                stage3=HRNetStageConfig(1, 3, (2, 2, 2), c[:3]),
+                stage4=HRNetStageConfig(1, 4, (2, 2, 2, 2), c),
+            ),
+            lifter=LifterConfig(embed_dim_ratio=32, depth=2, levels=4),
+            image_shape=(64, 64),
+        ),
+        train=dataclasses.replace(cfg.train, batch_size=16),
+    )
+
+    train_ds = SyntheticPoseDataset(size=128, image_shape=(64, 64), seed=0)
+    val_ds = SyntheticPoseDataset(size=64, image_shape=(64, 64), seed=99)
+    model = ContextAwarePoseFormer(cfg=cfg.model)
+    opt = steps.make_optimizer(cfg, steps_per_epoch=100)
+    train_step = jax.jit(steps.make_train_step(model, cfg, opt))
+
+    def batch_of(ds, idx):
+        return steps.RawBatch(
+            jnp.asarray(ds._images[idx]), jnp.asarray(ds.joints_3d[idx]),
+            jnp.asarray(ds.joints_2d[idx]),
+            jnp.asarray(ds.joints_2d_crop[idx]),
+        )
+
+    rng = np.random.RandomState(0)
+    state = steps.init_state(model, cfg, opt, jax.random.PRNGKey(0),
+                             batch_of(train_ds, np.arange(16)))
+    key = jax.random.PRNGKey(1)
+    for _ in range(steps_n):
+        idx = rng.randint(0, len(train_ds), 16)
+        state, aux = train_step(state, batch_of(train_ds, idx), key)
+    print(f"trained {steps_n} steps, final loss {float(aux['loss']):.4f}")
+
+    def eval_p1(model_cfg):
+        m = ContextAwarePoseFormer(cfg=model_cfg)
+        estep = jax.jit(steps.make_eval_step(
+            m, dataclasses.replace(cfg, model=model_cfg)))
+        errs = []
+        for s in range(0, len(val_ds), 16):
+            idx = np.arange(s, min(s + 16, len(val_ds)))
+            pred, gt = estep(state.params, batch_of(val_ds, idx))
+            errs.append(np.linalg.norm(
+                np.asarray(pred) - np.asarray(gt), axis=-1))
+        return float(np.concatenate(errs).mean() * 1000)
+
+    p1 = eval_p1(cfg.model)
+    p1d = eval_p1(cfglib.deploy(cfg).model)
+    print(f"trained P1: fp32 {p1:.3f} mm | deploy {p1d:.3f} mm | "
+          f"delta {p1d - p1:+.3f} mm")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-trained", action="store_true")
+    ap.add_argument("--steps", type=int, default=250)
+    args = ap.parse_args()
+    output_delta()
+    if not args.skip_trained:
+        trained_ab(args.steps)
+
+
+if __name__ == "__main__":
+    main()
