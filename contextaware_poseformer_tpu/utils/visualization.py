@@ -163,3 +163,76 @@ def render_prediction_grid(
     fig.savefig(out_path, dpi=90, bbox_inches="tight")
     plt.close(fig)
     return out_path
+
+
+def render_animation(
+    poses_3d: np.ndarray,  # (T, 17, 3) root-relative sequence
+    out_path: str,  # .gif always works (PIL); .mp4 needs ffmpeg
+    frames_bgr: np.ndarray | None = None,  # optional (T, H, W, 3) inputs
+    gts_3d: np.ndarray | None = None,
+    fps: int = 25,
+    elev: float = 15.0,
+    azim: float = 70.0,
+) -> str:
+    """Sequence renderer — the equivalent of the reference's vendored
+    VideoPose3D render_animation (ContextPose_mpi/common/visualization.py:
+    65-689): input frame beside the animated 3D skeleton (prediction red,
+    optional GT gray). Writes .gif via PIL (always available here) or .mp4
+    when an ffmpeg binary is on PATH.
+    """
+    from PIL import Image
+
+    plt = _mpl()
+    t_total = len(poses_3d)
+    r = float(np.abs(poses_3d).max()) * 1.1 + 1e-6
+    cols = 2 if frames_bgr is not None else 1
+
+    rendered = []
+    for t in range(t_total):
+        fig = plt.figure(figsize=(4 * cols, 4))
+        if frames_bgr is not None:
+            ax = fig.add_subplot(1, cols, 1)
+            ax.imshow(np.asarray(frames_bgr[t])[..., ::-1])
+            ax.axis("off")
+        ax3 = fig.add_subplot(1, cols, cols, projection="3d")
+        ax3.view_init(elev=elev, azim=azim)
+
+        def plot(p, color, alpha):
+            for a, b in H36M_LIMBS:
+                ax3.plot(
+                    [p[a, 0], p[b, 0]], [p[a, 2], p[b, 2]],
+                    [-p[a, 1], -p[b, 1]], color=color, alpha=alpha,
+                    linewidth=2,
+                )
+
+        if gts_3d is not None:
+            plot(np.asarray(gts_3d[t]), "gray", 0.6)
+        plot(np.asarray(poses_3d[t]), "tab:red", 0.95)
+        ax3.set_xlim(-r, r), ax3.set_ylim(-r, r), ax3.set_zlim(-r, r)
+        ax3.set_box_aspect((1, 1, 1))
+        fig.canvas.draw()
+        buf = np.asarray(fig.canvas.buffer_rgba())[..., :3]
+        rendered.append(Image.fromarray(buf.copy()))
+        plt.close(fig)
+
+    if out_path.endswith(".mp4"):
+        import shutil
+        import subprocess
+        import tempfile
+
+        if shutil.which("ffmpeg") is None:
+            raise RuntimeError("mp4 output needs ffmpeg; use .gif instead")
+        with tempfile.TemporaryDirectory() as td:
+            for i, im in enumerate(rendered):
+                im.save(f"{td}/{i:06d}.png")
+            subprocess.run(
+                ["ffmpeg", "-y", "-loglevel", "error", "-framerate", str(fps),
+                 "-i", f"{td}/%06d.png", "-pix_fmt", "yuv420p", out_path],
+                check=True,
+            )
+    else:
+        rendered[0].save(
+            out_path, save_all=True, append_images=rendered[1:],
+            duration=int(1000 / fps), loop=0,
+        )
+    return out_path

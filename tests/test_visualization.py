@@ -44,3 +44,16 @@ def test_render_pose_3d_and_grid(tmp_path):
         gts_3d=rng.randn(2, 17, 3) * 0.2,
     )
     assert os.path.exists(path) and os.path.getsize(path) > 1000
+
+
+def test_render_animation_gif(tmp_path):
+    from contextaware_poseformer_tpu.utils.visualization import (
+        render_animation,
+    )
+
+    rng = np.random.RandomState(0)
+    poses = rng.randn(3, 17, 3).astype(np.float32) * 0.1
+    frames = rng.randint(0, 255, (3, 32, 32, 3)).astype(np.uint8)
+    out = render_animation(poses, str(tmp_path / "seq.gif"),
+                           frames_bgr=frames, gts_3d=poses + 0.01, fps=5)
+    assert os.path.exists(out) and os.path.getsize(out) > 0
