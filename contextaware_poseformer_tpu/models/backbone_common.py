@@ -31,12 +31,29 @@ class ConvBN(nn.Module):
     """Conv2d (no bias) + folded frozen BatchNorm + optional ReLU, NHWC.
 
     `quantize="c128"` switches convs with BOTH channel counts >= 128 to an
-    int8 path (per-output-channel symmetric weight quant + dynamic
+    int8 path (per-output-channel symmetric weight quant + DYNAMIC
     per-tensor activation quant, int32 accumulation). Measured 1.85x on the
     16x12x128 HRNet branch INCLUDING the quant passes; narrower convs and
-    the mixed-width layer1 bottlenecks measured slower in int8 (PERF.md) and
-    always take the float path. The frozen backbone means the rounding is
-    inference-only — grads never flow here (stop_gradient in capf).
+    the mixed-width layer1 bottlenecks measured slower under dynamic quant
+    (the amax reduce + requant are full HBM passes, PERF.md) and take the
+    float path there.
+
+    `quantize="static"` extends int8 to 3x3 convs with both channel counts
+    >= 16 (branch BasicBlocks, stem conv2, transitions, bottleneck conv2s)
+    and keeps the >=128 rule for 1x1s, replacing the dynamic amax reduce
+    with a per-conv STATIC calibration scale stored in the "calib" variable
+    collection: the requant becomes a pure elementwise op that XLA fuses
+    into the producer epilogue. Measured (device traces, batch 128): 1.34x
+    on 64x48x32 residual chains, 1.82x on 32x24x64, 1.35x on the stem conv2
+    — exactly the shapes dynamic quant lost on. The layer1 1x1 bottleneck
+    convs are EXCLUDED: they run at HBM roofline (~43 TF/s) and measured
+    int8-neutral (3805 vs 3861 us), so the rounding would buy nothing.
+    Calibrate with `calibrate_quantization` (runs forward passes with
+    mutable=["calib"]; each ConvBN records max|input|). An uncalibrated
+    static model computes garbage — check_calibrated() guards.
+
+    The frozen backbone means the rounding is inference-only — grads never
+    flow here (stop_gradient in capf).
     """
 
     features: int
@@ -44,7 +61,7 @@ class ConvBN(nn.Module):
     stride: int = 1
     relu: bool = False
     dtype: Any = jnp.float32
-    quantize: str = "none"  # "none" | "c128"
+    quantize: str = "none"  # "none" | "c128" | "static"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -59,14 +76,59 @@ class ConvBN(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
 
         pad = (ks - 1) // 2
-        int8_path = (
+        dyn_int8 = (
             self.quantize == "c128" and in_ch >= 128 and self.features >= 128
         )
-        if int8_path:
-            k32 = kernel.astype(jnp.float32)
-            wscale = jnp.max(jnp.abs(k32), axis=(0, 1, 2)) / 127.0  # (out,)
-            kq = jnp.round(k32 / wscale).astype(jnp.int8)
-            amax = jnp.max(jnp.abs(x)).astype(jnp.float32) / 127.0
+        static_int8 = self.quantize == "static" and (
+            (ks == 3 and in_ch >= 16 and self.features >= 16)
+            or (in_ch >= 128 and self.features >= 128)
+        )
+        if static_int8:
+            amax_v = self.variable(
+                "calib", "amax", lambda: jnp.zeros((), jnp.float32)
+            )
+            if self.is_mutable_collection("calib"):
+                # calibration pass: observe |x| max, compute in float
+                amax_v.value = jnp.maximum(
+                    amax_v.value, jnp.max(jnp.abs(x)).astype(jnp.float32)
+                )
+                static_int8 = False
+        if dyn_int8 or static_int8:
+            # Weight quantization. Computing round(k / wscale) per call costs
+            # a small reduce+round op PER CONV PER STEP — ~220 extra op
+            # dispatches under "static" on HRNet-32, measured ~+1.1 ms/step,
+            # more than the int8 win itself. prepare_int8_weights() runs one
+            # pass with mutable=["qweights"] that stores the quantized
+            # kernels; afterwards they are free at apply time. Skipped at
+            # init so loaded checkpoints can't silently carry stale values.
+            use_stored = self.has_variable("qweights", "kernel_q") or (
+                self.is_mutable_collection("qweights")
+                and not self.is_initializing()
+            )
+            if use_stored:
+                k32 = kernel.astype(jnp.float32)
+                kq_v = self.variable(
+                    "qweights", "kernel_q",
+                    lambda: jnp.zeros(kernel.shape, jnp.int8),
+                )
+                ws_v = self.variable(
+                    "qweights", "wscale",
+                    lambda: jnp.ones((self.features,), jnp.float32),
+                )
+                if self.is_mutable_collection("qweights"):
+                    ws_v.value = (
+                        jnp.max(jnp.abs(k32), axis=(0, 1, 2)) / 127.0
+                    )
+                    kq_v.value = jnp.round(k32 / ws_v.value).astype(jnp.int8)
+                kq, wscale = kq_v.value, ws_v.value
+            else:
+                k32 = kernel.astype(jnp.float32)
+                wscale = jnp.max(jnp.abs(k32), axis=(0, 1, 2)) / 127.0
+                kq = jnp.round(k32 / wscale).astype(jnp.int8)
+            if static_int8:
+                amax = jnp.maximum(amax_v.value, 1e-12) / 127.0
+            else:
+                amax = jnp.max(jnp.abs(x)).astype(jnp.float32) / 127.0
             xq = jnp.clip(
                 jnp.round(x.astype(jnp.float32) / amax), -127, 127
             ).astype(jnp.int8)
@@ -131,6 +193,53 @@ def resize_bilinear_align_corners(x: jax.Array, out_hw: tuple[int, int]) -> jax.
     mw = _linear_interp_matrix(ow, w, x.dtype)
     y = jnp.einsum("oh,nhwc->nowc", mh, x)
     return jnp.einsum("pw,nowc->nopc", mw, y)
+
+
+def calibrate_quantization(apply_fn, variables: dict, batches) -> dict:
+    """Populate the "calib" activation-scale collection for quantize="static".
+
+    `apply_fn(variables, batch, mutable=["calib"])` must run the model
+    forward (e.g. functools.partial(model.apply) with the remaining call args
+    bound, or a lambda). Each ConvBN records the running max|input| across
+    all batches. Returns `variables` with the updated calib collection.
+    """
+    for batch in batches:
+        _, upd = apply_fn(variables, batch, mutable=["calib"])
+        variables = {**variables, "calib": upd["calib"]}
+    return variables
+
+
+def prepare_int8_weights(apply_fn, variables: dict, batch) -> dict:
+    """Pre-quantize int8 conv kernels into the "qweights" collection.
+
+    One forward pass with mutable=["qweights"]; each int8-path ConvBN stores
+    round(kernel / wscale) so apply time pays zero weight-quant ops (per-call
+    quantization measured ~+1.1 ms/step on HRNet-32 under quantize="static").
+    Re-run this after ANY change to the backbone params — stored kernels do
+    not track later param updates (the frozen backbone makes this a one-time
+    cost in practice). For quantize="static", run calibrate_quantization
+    FIRST (this pass uses the static path, which needs populated scales).
+    """
+    _, upd = apply_fn(variables, batch, mutable=["qweights"])
+    return {**variables, "qweights": upd["qweights"]}
+
+
+def check_calibrated(variables: dict) -> None:
+    """Raise if a quantize="static" model has unpopulated calibration scales
+    (an uncalibrated static model silently computes garbage)."""
+    calib = variables.get("calib")
+    if calib is None:
+        raise ValueError(
+            'quantize="static" needs a "calib" collection; run '
+            "calibrate_quantization() first"
+        )
+    bad = [
+        "/".join(str(k) for k in path)
+        for path, leaf in jax.tree_util.tree_flatten_with_path(calib)[0]
+        if float(jnp.max(leaf)) <= 0.0
+    ]
+    if bad:
+        raise ValueError(f"uncalibrated activation scales: {bad[:5]} ...")
 
 
 def max_pool_3x3_s2(x: jax.Array) -> jax.Array:

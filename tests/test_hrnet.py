@@ -140,3 +140,66 @@ def test_quantize_c128_close_and_narrow_untouched():
         assert rms_rel < 0.05, rms_rel
         changed = changed or (np.abs(a - b).max() > 0)
     assert changed  # the int8 path actually ran
+
+
+def test_quantize_static_calibration_flow():
+    """quantize='static': init-with-zeros leaves calib unpopulated (and
+    check_calibrated raises); a calibration pass is float-exact and records
+    activation scales; the calibrated int8 apply stays within a few percent
+    RMS of fp32 (per-conv RMS error ~1%, PERF.md)."""
+    import dataclasses
+
+    from contextaware_poseformer_tpu.models.backbone_common import (
+        calibrate_quantization,
+        check_calibrated,
+    )
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+
+    cfg = tiny_cfg(width=16)  # 3x3 convs with both channels >= 16 qualify
+    bb = HRNet(cfg=cfg)
+    params = bb.init(jax.random.PRNGKey(0), x)
+    base = bb.apply(params, x)
+
+    bbq = HRNet(cfg=dataclasses.replace(cfg, quantize="static"))
+    variables = bbq.init(jax.random.PRNGKey(0), jnp.zeros_like(x))
+    assert "calib" in variables
+    with pytest.raises(ValueError, match="uncalibrated"):
+        check_calibrated(variables)
+
+    # calibration pass computes in float: bit-identical to the fp32 model
+    calibrated, upd = bbq.apply(
+        {**variables, "params": params["params"]}, x, mutable=["calib"]
+    )
+    for a, b in zip(base, calibrated):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    variables = calibrate_quantization(
+        lambda v, b, **kw: bbq.apply(v, b, **kw),
+        {**variables, "params": params["params"]},
+        [x],
+    )
+    check_calibrated(variables)
+
+    quant = bbq.apply(variables, x)
+    changed = False
+    for a, b in zip(base, quant):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        rms_rel = np.sqrt(((a - b) ** 2).mean()) / (a.std() + 1e-9)
+        assert rms_rel < 0.06, rms_rel
+        changed = changed or rms_rel > 1e-6
+    assert changed  # the int8 path actually engaged
+
+    # pre-quantized weights: bit-identical to on-the-fly quantization
+    from contextaware_poseformer_tpu.models.backbone_common import (
+        prepare_int8_weights,
+    )
+
+    stored = prepare_int8_weights(
+        lambda v, b, **kw: bbq.apply(v, b, **kw), variables, x
+    )
+    assert "qweights" in stored
+    quant2 = bbq.apply(stored, x)
+    for a, b in zip(quant, quant2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
