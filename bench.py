@@ -65,6 +65,33 @@ def main() -> None:
         if getattr(x, "ndim", 0) == 4 and "backbone" in str(path) else x,
         params,
     )
+    # quantize="serve" calibration + kernel pre-quantization (one-time).
+    # Runs on the HOST CPU backend with a small batch: the calibration and
+    # weight-prep graphs would otherwise cost two extra TPU compiles
+    # (~minutes through the tunnel) for a handful of amax scalars.
+    from contextaware_poseformer_tpu.models import prepare_serving
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        cal_imgs = augment.normalize_images(
+            np.asarray(imgs_u8[:8]), cfg.model.backbone.kind
+        )
+        cal_vars = prepare_serving(
+            model,
+            jax.device_put(params, cpu),
+            (cal_imgs, np.asarray(kp[:8]), np.asarray(kpc[:8])),
+        )
+    # params stay on the TPU; calibrated scales + int8 kernels move over
+    # (device_put, not asarray — CPU-committed arrays would otherwise pull
+    # the whole jit onto the CPU backend)
+    tpu = jax.devices()[0]
+    params = {
+        "params": params["params"],
+        **{
+            k: jax.device_put(v, tpu)
+            for k, v in cal_vars.items() if k != "params"
+        },
+    }
 
     @jax.jit
     def lift(params, imgs_u8, kp, kpc, salt):
@@ -91,8 +118,9 @@ def main() -> None:
                 "metric": "single_frame_lifts_per_sec_per_chip",
                 "value": round(lifts_per_sec, 1),
                 "unit": (
-                    "frames/sec (uint8 in -> HRNet-32 bf16 + int8 c>=128 "
-                    "convs + fused-Pallas sampling/attention + bf16 lifter, "
+                    "frames/sec (uint8 in -> HRNet-32 bf16 + int8 serve "
+                    "quant [c>=128 convs + e2e-int8 layer1] + fused-Pallas "
+                    "sampling/attention + bf16 lifter, "
                     f"batch {BATCH}, best of {BURSTS} bursts)"
                 ),
                 "vs_baseline": round(

@@ -45,7 +45,11 @@ class BackboneConfig:
     num_joints: int = 17
     frozen: bool = True  # reference: fix_weights=True (human36m.yaml:21)
     # "c128": int8 dynamic-quant convs where both channel counts >= 128
-    # (deploy-only; measured 1.85x on those shapes, see PERF.md)
+    # (deploy-only; measured 1.85x on those shapes, see PERF.md);
+    # "serve": c128 plus end-to-end int8 layer1 (static calibrated scales,
+    # 1.90x on the HBM-bound bottleneck chain — needs calibrate_quantization);
+    # "static": per-conv static-scale int8 on 3x3 convs >= 16ch (measured
+    # neutral on the flagship graph; kept for other topologies)
     quantize: str = "none"
     stage2: HRNetStageConfig = HRNetStageConfig(1, 2, (4, 4), (32, 64))
     stage3: HRNetStageConfig = HRNetStageConfig(4, 3, (4, 4, 4), (32, 64, 128))
@@ -275,17 +279,20 @@ def deploy(cfg: Config) -> Config:
 
     bf16 backbone + bf16 lifter stream (params, LayerNorms, softmax, and
     the head stay fp32), single-pass bf16 MXU sampling, fused short-sequence
-    attention, and int8 for convs with both channel counts >= 128.
-    Measured accuracy cost on trained models: P1 deltas of -0.025 mm (bf16)
-    and +0.006 mm (int8) — see PERF.md. The default preset keeps full fp32
-    for training and reference-checkpoint parity.
+    attention, and quantize="serve": int8 for convs with both channel counts
+    >= 128 plus end-to-end int8 layer1 (composite device time 21.1 -> 19.3
+    ms at batch 128; PERF.md). "serve" needs a one-time calibration — run
+    models.prepare_serving(model, variables, example_args) after loading
+    params. Measured accuracy cost on trained models: P1 deltas of
+    -0.025 mm (bf16) and +0.006 mm (int8) — see PERF.md. The default preset
+    keeps full fp32 for training and reference-checkpoint parity.
     """
     return replace(
         cfg,
         model=replace(
             cfg.model,
             compute_dtype="bfloat16",
-            backbone=replace(cfg.model.backbone, quantize="c128"),
+            backbone=replace(cfg.model.backbone, quantize="serve"),
             lifter=replace(
                 cfg.model.lifter,
                 compute_dtype="bfloat16",

@@ -61,11 +61,18 @@ class ConvBN(nn.Module):
     stride: int = 1
     relu: bool = False
     dtype: Any = jnp.float32
-    quantize: str = "none"  # "none" | "c128" | "static"
+    quantize: str = "none"  # "none" | "c128" | "static" | "serve"
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        in_ch = x.shape[-1]
+    def __call__(self, x, x_quant=None) -> jax.Array:
+        """x: float NHWC input, or None when `x_quant` is given.
+
+        `x_quant=(xq_int8, amax)` feeds an already-quantized tensor with its
+        per-tensor max|value| scale (the end-to-end int8 layer1 flow,
+        HRNet._layer1_int8): the conv runs int8 with the caller's scale and
+        returns the usual float output — no internal quantize pass.
+        """
+        in_ch = (x if x_quant is None else x_quant[0]).shape[-1]
         ks = self.kernel_size
         kernel = self.param(
             "kernel",
@@ -76,10 +83,11 @@ class ConvBN(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
 
         pad = (ks - 1) // 2
-        dyn_int8 = (
-            self.quantize == "c128" and in_ch >= 128 and self.features >= 128
+        dyn_int8 = x_quant is None and (
+            self.quantize in ("c128", "serve")
+            and in_ch >= 128 and self.features >= 128
         )
-        static_int8 = self.quantize == "static" and (
+        static_int8 = x_quant is None and self.quantize == "static" and (
             (ks == 3 and in_ch >= 16 and self.features >= 16)
             or (in_ch >= 128 and self.features >= 128)
         )
@@ -93,7 +101,7 @@ class ConvBN(nn.Module):
                     amax_v.value, jnp.max(jnp.abs(x)).astype(jnp.float32)
                 )
                 static_int8 = False
-        if dyn_int8 or static_int8:
+        if dyn_int8 or static_int8 or x_quant is not None:
             # Weight quantization. Computing round(k / wscale) per call costs
             # a small reduce+round op PER CONV PER STEP — ~220 extra op
             # dispatches under "static" on HRNet-32, measured ~+1.1 ms/step,
@@ -125,13 +133,19 @@ class ConvBN(nn.Module):
                 k32 = kernel.astype(jnp.float32)
                 wscale = jnp.max(jnp.abs(k32), axis=(0, 1, 2)) / 127.0
                 kq = jnp.round(k32 / wscale).astype(jnp.int8)
-            if static_int8:
-                amax = jnp.maximum(amax_v.value, 1e-12) / 127.0
+            if x_quant is not None:
+                xq, xq_amax = x_quant
+                amax = jnp.maximum(
+                    xq_amax.astype(jnp.float32), 1e-12
+                ) / 127.0
             else:
-                amax = jnp.max(jnp.abs(x)).astype(jnp.float32) / 127.0
-            xq = jnp.clip(
-                jnp.round(x.astype(jnp.float32) / amax), -127, 127
-            ).astype(jnp.int8)
+                if static_int8:
+                    amax = jnp.maximum(amax_v.value, 1e-12) / 127.0
+                else:
+                    amax = jnp.max(jnp.abs(x)).astype(jnp.float32) / 127.0
+                xq = jnp.clip(
+                    jnp.round(x.astype(jnp.float32) / amax), -127, 127
+                ).astype(jnp.int8)
             y = jax.lax.conv_general_dilated(
                 xq, kq,
                 window_strides=(self.stride, self.stride),

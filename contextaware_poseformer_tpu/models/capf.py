@@ -39,6 +39,46 @@ def crop_coords_to_grid(kpts_crop: jax.Array, image_shape: tuple[int, int]) -> j
     return kpts_crop / half - 1.0
 
 
+def prepare_serving(model, variables: dict, example_args, batches=None) -> dict:
+    """Make a composite's variables serving-ready for its quantize mode.
+
+    For quantize="serve"/"static": runs activation calibration over
+    `batches` (a list of (images, keypoints_2d, keypoints_2d_crop) tuples;
+    defaults to [example_args] — use real data batches for deployment) and
+    verifies it; for every int8 mode, additionally pre-quantizes conv
+    kernels into the "qweights" collection. A no-op for float models.
+    Images must already be normalized (the same tensors model.apply takes).
+
+    Only the BACKBONE holds quantization state, so both passes apply just
+    that submodule — cheaper, and it keeps calibration runnable on the host
+    CPU backend (the lifter's Pallas kernels are TPU-compile-only).
+    """
+    from contextaware_poseformer_tpu.models.backbone_common import (
+        calibrate_quantization,
+        check_calibrated,
+        prepare_int8_weights,
+    )
+
+    quant = model.cfg.backbone.quantize
+    if quant == "none":
+        return variables
+
+    def apply_fn(v, batch, **kw):
+        return model.apply(
+            v, batch[0], method=lambda m, images: m.backbone(images), **kw
+        )
+
+    if quant in ("serve", "static"):
+        variables = calibrate_quantization(
+            apply_fn, variables, list(batches) if batches else [example_args]
+        )
+        check_calibrated(variables)
+    variables = prepare_int8_weights(
+        apply_fn, variables, batches[0] if batches else example_args
+    )
+    return variables
+
+
 class ContextAwarePoseFormer(nn.Module):
     cfg: ModelConfig
     dtype: Any = jnp.float32  # backbone compute dtype (bf16 for speed)

@@ -66,6 +66,83 @@ class HRNet(nn.Module):
             )(x)
         return jax.nn.relu(y + residual)
 
+    def _layer1_int8(self, x):
+        """layer1 with END-TO-END int8 tensors (quantize="serve").
+
+        layer1 moves the backbone's biggest tensors (64x48x256 at batch) and
+        runs at HBM roofline in bf16 (~43 TF/s effective; PERF.md), so the
+        win comes from HALVING tensor bytes, not from the MXU: every
+        inter-conv tensor including the residual stays int8 in HBM, adds
+        dequantize in-register, and block outputs requantize with STATIC
+        per-tensor scales recorded by a calibration pass (measured 1.90x on
+        the 3-block chain, 3806 -> 2002 us; per-conv int8 with float
+        residuals measured NEUTRAL here). Returns (xq_int8, amax) at
+        inference — the transition1 convs consume it directly so the
+        dequantized float tensor never exists in HBM. During calibration
+        (mutable "calib") runs the exact float path and records scales.
+        """
+        calibrating = self.is_mutable_collection("calib")
+
+        def cvar(name):
+            return self.variable(
+                "calib", name, lambda: jnp.zeros((), jnp.float32)
+            )
+
+        in_v = cvar("layer1.in_amax")
+        names = [f"layer1.{b}" for b in range(4)]
+        tvars = {
+            f"{n}.{t}": cvar(f"{n}.{t}_amax")
+            for n in names
+            for t in ("t1", "t2", "out")
+        }
+
+        def observe(v, t):
+            v.value = jnp.maximum(
+                v.value, jnp.max(jnp.abs(t)).astype(jnp.float32)
+            )
+
+        if calibrating:
+            observe(in_v, x)
+            for i, n in enumerate(names):
+                y = self._conv(f"{n}.conv1", 64, 1, 1, relu=True)(x)
+                observe(tvars[f"{n}.t1"], y)
+                y = self._conv(f"{n}.conv2", 64, 3, 1, relu=True)(y)
+                observe(tvars[f"{n}.t2"], y)
+                y = self._conv(f"{n}.conv3", 256, 1, 1, relu=False)(y)
+                res = (
+                    self._conv(f"{n}.downsample.0", 256, 1, 1, relu=False)(x)
+                    if i == 0 else x
+                )
+                x = jax.nn.relu(y + res)
+                observe(tvars[f"{n}.out"], x)
+            return x
+
+        def quant(t, amax):
+            return jnp.clip(
+                jnp.round(t.astype(jnp.float32) * (127.0 / amax)), -127, 127
+            ).astype(jnp.int8)
+
+        amax = jnp.maximum(in_v.value, 1e-12)
+        xq = quant(x, amax)
+        for i, n in enumerate(names):
+            a1 = jnp.maximum(tvars[f"{n}.t1"].value, 1e-12)
+            a2 = jnp.maximum(tvars[f"{n}.t2"].value, 1e-12)
+            y = self._conv(f"{n}.conv1", 64, 1, 1, relu=True)(
+                None, x_quant=(xq, amax))
+            y = self._conv(f"{n}.conv2", 64, 3, 1, relu=True)(
+                None, x_quant=(quant(y, a1), a1))
+            y = self._conv(f"{n}.conv3", 256, 1, 1, relu=False)(
+                None, x_quant=(quant(y, a2), a2))
+            if i == 0:
+                res = self._conv(f"{n}.downsample.0", 256, 1, 1, relu=False)(
+                    None, x_quant=(xq, amax))
+            else:
+                res = xq.astype(y.dtype) * (amax / 127.0).astype(y.dtype)
+            o = jax.nn.relu(y + res)
+            amax = jnp.maximum(tvars[f"{n}.out"].value, 1e-12)
+            xq = quant(o, amax)
+        return xq, amax
+
     def _hr_module(
         self,
         xs: Sequence[jax.Array],
@@ -145,16 +222,29 @@ class HRNet(nn.Module):
         x = self._conv("conv2", 64, 3, 2, relu=True)(x)
 
         # layer1: 4x Bottleneck(64), first with 1x1 downsample to 256
-        x = self._bottleneck(x, "layer1.0", 64, downsample=True)
-        for b in range(1, 4):
-            x = self._bottleneck(x, f"layer1.{b}", 64, downsample=False)
+        if cfg.quantize == "serve":
+            x = self._layer1_int8(x)  # (xq, amax) at inference, float @calib
+        else:
+            x = self._bottleneck(x, "layer1.0", 64, downsample=True)
+            for b in range(1, 4):
+                x = self._bottleneck(x, f"layer1.{b}", 64, downsample=False)
 
-        # transition1 (pose_hrnet.py:372-411): 256 -> [C, 2C@/2]
+        # transition1 (pose_hrnet.py:372-411): 256 -> [C, 2C@/2]. Under
+        # "serve" these consume layer1's int8 tensor directly (x_quant) so
+        # the dequantized float copy never round-trips HBM.
         c2 = list(cfg.stage2.num_channels)
-        xs = [
-            self._conv("transition1.0.0", c2[0], 3, 1, relu=True)(x),
-            self._conv("transition1.1.0.0", c2[1], 3, 2, relu=True)(x),
-        ]
+        if isinstance(x, tuple):
+            xs = [
+                self._conv("transition1.0.0", c2[0], 3, 1, relu=True)(
+                    None, x_quant=x),
+                self._conv("transition1.1.0.0", c2[1], 3, 2, relu=True)(
+                    None, x_quant=x),
+            ]
+        else:
+            xs = [
+                self._conv("transition1.0.0", c2[0], 3, 1, relu=True)(x),
+                self._conv("transition1.1.0.0", c2[1], 3, 2, relu=True)(x),
+            ]
         ys, _ = self._stage(xs, "stage2", cfg.stage2)
 
         # transition2: channels match for existing branches -> identity; one

@@ -18,6 +18,7 @@ import time
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from contextaware_poseformer_tpu.config import Config
@@ -100,11 +101,25 @@ class Trainer:
         self.writer = MetricWriter(logdir)
         self.ckpt = CheckpointManager(os.path.join(logdir, "checkpoints")) if logdir else None
 
-        self._train_step = jax.jit(
-            steps.make_train_step(self.model, cfg, self.optimizer),
-            donate_argnums=0,
-        )
+        # lazy: inference-only quantize modes reject train-step construction,
+        # and an eval-only Trainer (--eval with a *_deploy preset) never
+        # needs one
+        self.__train_step = None
         self._eval_step = jax.jit(steps.make_eval_step(self.model, cfg))
+        # quantize="serve"/"static" needs one-time activation calibration;
+        # done lazily on the first evaluate() call (real val data)
+        self._serving_ready = cfg.model.backbone.quantize not in (
+            "serve", "static"
+        )
+
+    @property
+    def _train_step(self):
+        if self.__train_step is None:
+            self.__train_step = jax.jit(
+                steps.make_train_step(self.model, self.cfg, self.optimizer),
+                donate_argnums=0,
+            )
+        return self.__train_step
 
     # -- state ---------------------------------------------------------------
 
@@ -167,6 +182,27 @@ class Trainer:
                        "steps": n}
 
     def evaluate(self, params, max_batches: int | None = None) -> dict[str, float]:
+        if not self._serving_ready:
+            from contextaware_poseformer_tpu.data import augment
+            from contextaware_poseformer_tpu.models import prepare_serving
+
+            first = next(pipeline.batch_iterator(
+                self.val_ds, min(self.cfg.train.batch_size, 16),
+                shuffle=False, num_workers=2,
+            ))[0]
+            batch = (
+                augment.normalize_images(
+                    jnp.asarray(first.images_u8), self.cfg.model.backbone.kind
+                ),
+                jnp.asarray(first.keypoints_2d),
+                jnp.asarray(first.keypoints_2d_crop),
+            )
+            v = prepare_serving(self.model, {"params": params}, batch)
+            extra = {k: val for k, val in v.items() if k != "params"}
+            self._eval_step = jax.jit(
+                steps.make_eval_step(self.model, self.cfg, extra)
+            )
+            self._serving_ready = True
         host_iter = pipeline.batch_iterator(
             self.val_ds, self.cfg.train.batch_size,
             shuffle=False, drop_remainder=False,

@@ -114,6 +114,12 @@ def _prepare(raw: RawBatch, backbone_kind: str, task: Task) -> augment.Batch:
 
 
 def make_train_step(model, cfg: Config, optimizer) -> Callable:
+    if cfg.model.backbone.quantize in ("serve", "static"):
+        raise ValueError(
+            f'quantize="{cfg.model.backbone.quantize}" is inference-only '
+            "(needs calibrated activation scales); train with quantize="
+            '"none" or "c128" and switch via config.deploy for serving'
+        )
     task = Task.for_config(cfg)
     kind = cfg.model.backbone.kind
     loss_fn_name = cfg.train.loss
@@ -164,15 +170,21 @@ def make_train_step(model, cfg: Config, optimizer) -> Callable:
     return train_step
 
 
-def make_eval_step(model, cfg: Config) -> Callable:
+def make_eval_step(model, cfg: Config, extra_variables: dict | None = None) -> Callable:
+    """`extra_variables`: non-param collections the model needs at inference
+    (e.g. "calib"/"qweights" from models.prepare_serving for the
+    quantize="serve" deployment mode); closed over, not traced per call."""
     task = Task.for_config(cfg)
     kind = cfg.model.backbone.kind
+    extra = extra_variables or {}
 
     def eval_step(params, raw: RawBatch):
         batch = _prepare(raw, kind, task)
 
         def fwd(images, kp2d, kp2d_crop):
-            return model.apply({"params": params}, images, kp2d, kp2d_crop)
+            return model.apply(
+                {"params": params, **extra}, images, kp2d, kp2d_crop
+            )
 
         if cfg.train.flip_test:
             # flip-test with the flipped copy FOLDED INTO THE BATCH AXIS: one

@@ -27,8 +27,14 @@ import numpy as np
 
 def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Context-Aware PoseFormer (TPU) - H36M")
-    p.add_argument("--preset", default="h36m_hrnet_32",
-                   choices=["h36m_hrnet_32", "h36m_hrnet_48", "h36m_cpn"])
+    p.add_argument(
+        "--preset", default="h36m_hrnet_32",
+        choices=[
+            n + s
+            for n in ("h36m_hrnet_32", "h36m_hrnet_48", "h36m_cpn")
+            for s in ("", "_deploy")
+        ],
+    )
     p.add_argument("--config", default=None, help="YAML overlay path")
     p.add_argument("--eval", action="store_true", help="evaluate only")
     p.add_argument("--data-root", default=None)
@@ -84,25 +90,27 @@ def make_config(args):
             cfg, data=dataclasses.replace(cfg.data, **data_overrides)
         )
     if args.tiny:
-        from contextaware_poseformer_tpu.config import (
-            BackboneConfig,
-            HRNetStageConfig,
-            LifterConfig,
-        )
+        from contextaware_poseformer_tpu.config import HRNetStageConfig
 
         w = 8
         c = (w, 2 * w, 4 * w, 8 * w)
+        # shrink structure only — numerics knobs (quantize, compute dtypes,
+        # fused kernels) survive so "--tiny --preset <x>_deploy" still
+        # exercises the deployment modes
         cfg = dataclasses.replace(
             cfg,
             model=dataclasses.replace(
                 cfg.model,
-                backbone=BackboneConfig(
-                    kind="hrnet", width=w,
+                backbone=dataclasses.replace(
+                    cfg.model.backbone, kind="hrnet", width=w,
                     stage2=HRNetStageConfig(1, 2, (2, 2), c[:2]),
                     stage3=HRNetStageConfig(1, 3, (2, 2, 2), c[:3]),
                     stage4=HRNetStageConfig(1, 4, (2, 2, 2, 2), c),
                 ),
-                lifter=LifterConfig(embed_dim_ratio=32, depth=2, levels=4),
+                lifter=dataclasses.replace(
+                    cfg.model.lifter,
+                    embed_dim_ratio=32, depth=2, levels=4,
+                ),
                 image_shape=(64, 64),
             ),
         )

@@ -119,7 +119,7 @@ def test_deploy_preset_and_suffix():
     base = cfglib.preset("h36m_hrnet_32")
     dep = cfglib.deploy(base)
     assert dep.model.compute_dtype == "bfloat16"
-    assert dep.model.backbone.quantize == "c128"
+    assert dep.model.backbone.quantize == "serve"
     assert dep.model.lifter.compute_dtype == "bfloat16"
     assert dep.model.lifter.sampler_precision == "default"
     assert dep.model.lifter.attention == "fused"

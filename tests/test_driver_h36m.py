@@ -49,3 +49,32 @@ def test_synthetic_learnability_sanity():
     base = train_h36m.main(args + ["--eval"])
     best = train_h36m.main(args + ["--epochs", "3"])
     assert best < base["p1_mm"] * 0.6, (best, base)
+
+
+def test_eval_with_serve_deploy_preset(tmp_path):
+    """--eval with a *_deploy preset (quantize="serve"): the Trainer
+    calibrates lazily on the first evaluate() call and the eval runs int8
+    layer1 end to end; train-step construction with a serve config raises."""
+    import dataclasses
+
+    import pytest as _pytest
+
+    from contextaware_poseformer_tpu.train import train_h36m
+
+    logdir = str(tmp_path / "run")
+    args = [
+        "--preset", "h36m_hrnet_32_deploy", "--synthetic", "--tiny",
+        "--batch-size", "16", "--eval-batches", "1", "--logdir", logdir,
+    ]
+    summary = train_h36m.main(args + ["--eval"])
+    assert set(summary) == {"p1_mm", "p2_mm", "mpjve_mm"}
+    assert np.isfinite(summary["p1_mm"])
+
+    # serve mode is inference-only: training with it must fail loudly
+    from contextaware_poseformer_tpu import config as cfglib
+    from contextaware_poseformer_tpu.train import steps
+
+    cfg = train_h36m.make_config(train_h36m.build_argparser().parse_args(args))
+    assert cfg.model.backbone.quantize == "serve"
+    with _pytest.raises(ValueError, match="inference-only"):
+        steps.make_train_step(None, cfg, None)

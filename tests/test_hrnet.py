@@ -203,3 +203,59 @@ def test_quantize_static_calibration_flow():
     quant2 = bbq.apply(stored, x)
     for a, b in zip(quant, quant2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_quantize_serve_end_to_end_int8_layer1():
+    """quantize='serve' = c128 dynamic int8 for wide convs + END-TO-END int8
+    layer1 with static calibrated scales (HRNet._layer1_int8). Checks: param
+    tree unchanged, calibration pass bit-matches the c128 model (layer1 runs
+    float while observing), calibrated inference stays within a few percent
+    RMS, and pre-quantized weights are bit-identical."""
+    import dataclasses
+
+    from contextaware_poseformer_tpu.config import hrnet_backbone
+    from contextaware_poseformer_tpu.models.backbone_common import (
+        calibrate_quantization,
+        check_calibrated,
+        prepare_int8_weights,
+    )
+
+    cfg = hrnet_backbone(32)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    bb = HRNet(cfg=cfg)
+    params = bb.init(jax.random.PRNGKey(0), x)
+    base = bb.apply(params, x)
+    base_c128 = HRNet(
+        cfg=dataclasses.replace(cfg, quantize="c128")
+    ).apply(params, x)
+
+    bbs = HRNet(cfg=dataclasses.replace(cfg, quantize="serve"))
+    vs = bbs.init(jax.random.PRNGKey(0), jnp.zeros_like(x))
+    paths = lambda t: {
+        "/".join(map(str, p))
+        for p, _ in jax.tree_util.tree_flatten_with_path(t)[0]
+    }
+    assert paths(params["params"]) == paths(vs["params"])
+
+    vs = {**vs, "params": params["params"]}
+    cal, _ = bbs.apply(vs, x, mutable=["calib"])
+    for a, b in zip(base_c128, cal):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    vs = calibrate_quantization(
+        lambda v, b, **kw: bbs.apply(v, b, **kw), vs, [x]
+    )
+    check_calibrated(vs)
+    out = bbs.apply(vs, x)
+    for a, b in zip(base, out):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        rms_rel = np.sqrt(((a - b) ** 2).mean()) / (a.std() + 1e-9)
+        assert 1e-7 < rms_rel < 0.06, rms_rel  # engaged, bounded
+
+    stored = prepare_int8_weights(
+        lambda v, b, **kw: bbs.apply(v, b, **kw), vs, x
+    )
+    out2 = bbs.apply(stored, x)
+    for a, b in zip(out, out2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

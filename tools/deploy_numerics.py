@@ -48,9 +48,12 @@ def output_delta():
     params = m32.init(jax.random.PRNGKey(0), imgs[:1], kp[:1], kpc[:1])
     out32 = np.asarray(m32.apply(params, imgs, kp, kpc), np.float64)
 
+    from contextaware_poseformer_tpu.models import prepare_serving
+
     dep = cfglib.deploy(cfg).model
     mdep = ContextAwarePoseFormer(cfg=dep, dtype=jnp.bfloat16)
-    outd = np.asarray(mdep.apply(params, imgs, kp, kpc), np.float64)
+    vdep = prepare_serving(mdep, dict(params), (imgs, kp, kpc))
+    outd = np.asarray(mdep.apply(vdep, imgs, kp, kpc), np.float64)
 
     d = np.abs(out32 - outd) * 1000
     print(f"full-size random-init output delta (PESSIMISTIC): "
@@ -116,9 +119,30 @@ def trained_ab(steps_n: int = 250):
     print(f"trained {steps_n} steps, final loss {float(aux['loss']):.4f}")
 
     def eval_p1(model_cfg):
+        from contextaware_poseformer_tpu.data import augment
+        from contextaware_poseformer_tpu.models import prepare_serving
+
         m = ContextAwarePoseFormer(cfg=model_cfg)
+        # serve-mode calibration on a couple of val batches (normalized the
+        # same way the eval step normalizes)
+        extra = None
+        if model_cfg.backbone.quantize != "none":
+            batches = []
+            for s in (0, 16):
+                b = batch_of(val_ds, np.arange(s, s + 16))
+                batches.append((
+                    augment.normalize_images(
+                        b.images_u8, model_cfg.backbone.kind
+                    ),
+                    b.keypoints_2d, b.keypoints_2d_crop,
+                ))
+            v = prepare_serving(
+                m, {"params": state.params}, batches[0], batches=batches
+            )
+            extra = {k: v[k] for k in v if k != "params"}
         estep = jax.jit(steps.make_eval_step(
-            m, dataclasses.replace(cfg, model=model_cfg)))
+            m, dataclasses.replace(cfg, model=model_cfg),
+            extra_variables=extra))
         errs = []
         for s in range(0, len(val_ds), 16):
             idx = np.arange(s, min(s + 16, len(val_ds)))
