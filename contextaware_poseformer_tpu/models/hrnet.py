@@ -167,6 +167,12 @@ class HRNet(nn.Module):
             outs.append(y)
 
         # fuse (pose_hrnet.py:225-303): out_i = relu(sum_j path_ij(x_j))
+        return self._fuse(outs, prefix, stage, multi_scale_output), outs
+
+    def _fuse(self, outs, prefix, stage, multi_scale_output):
+        """Float fuse (pose_hrnet.py:225-303): out_i = relu(sum_j path_ij)."""
+        nb = stage.num_branches
+        chans = list(stage.num_channels)
         num_out = nb if multi_scale_output else 1
         fused = []
         for i in range(num_out):
@@ -175,14 +181,12 @@ class HRNet(nn.Module):
                 if j == i:
                     y = outs[j]
                 elif j > i:
-                    # 1x1 conv + BN then nearest x2^(j-i)
                     y = self._conv(
                         f"{prefix}.fuse_layers.{i}.{j}.0",
                         chans[i], 1, 1, relu=False,
                     )(outs[j])
                     y = upsample_nearest(y, 2 ** (j - i))
                 else:
-                    # (i-j) stride-2 3x3 convs; ReLU between, none on last
                     y = outs[j]
                     for k in range(i - j):
                         last = k == i - j - 1
@@ -193,7 +197,7 @@ class HRNet(nn.Module):
                         )(y)
                 acc = y if acc is None else acc + y
             fused.append(jax.nn.relu(acc))
-        return fused, outs
+        return fused
 
     def _stage(
         self,
@@ -203,6 +207,13 @@ class HRNet(nn.Module):
         multi_scale_output: bool = True,
     ) -> tuple[list[jax.Array], list[jax.Array]]:
         """Returns (final outputs, FIRST module's pre-fuse branch outputs)."""
+        # NOTE: the branch BasicBlock chains deliberately stay FLOAT under
+        # quantize="serve". An end-to-end int8 variant (mirroring
+        # _layer1_int8, fuse layers consuming x_quant) was built and
+        # measured: composite 21.14 ms vs 19.29 ms for layer1-only serve —
+        # XLA's in-graph conv+requant fusions on the compute-bound narrow
+        # 3x3s are ~25% slower than its bf16 fusions, erasing the isolated
+        # 1.34-1.82x chain wins (PERF.md "don't redo" ledger).
         first_branch_outs = None
         for m in range(stage.num_modules):
             last = m == stage.num_modules - 1
