@@ -95,8 +95,10 @@ def main() -> None:
 
     @jax.jit
     def lift(params, imgs_u8, kp, kpc, salt):
-        imgs = augment.normalize_images(imgs_u8, cfg.model.backbone.kind)
-        return model.apply(params, imgs + salt, kp, kpc)
+        imgs = augment.normalize_images(
+            imgs_u8, cfg.model.backbone.kind, dtype=jnp.bfloat16
+        )
+        return model.apply(params, imgs + salt.astype(jnp.bfloat16), kp, kpc)
 
     out = lift(params, imgs_u8, kp, kpc, jnp.float32(0))  # compile
     jax.block_until_ready(out)

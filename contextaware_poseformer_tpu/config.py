@@ -120,6 +120,10 @@ class LifterConfig:
     # deployment). Params, LayerNorms, softmax, and the output head always
     # stay float32.
     compute_dtype: str = "float32"
+    # LayerNorm statistics dtype for the transformer blocks ("float32" for
+    # parity; "bfloat16" shaves the convert+reduce passes in deployment).
+    # The output head_norm ALWAYS stays float32.
+    ln_dtype: str = "float32"
     # res-block (level-axis, 5-token) attention implementation: "einsum"
     # (XLA, parity default) or "fused" (Pallas short-sequence kernel,
     # measured 9.8x — ops/small_attention.py). Joint blocks (17 tokens,

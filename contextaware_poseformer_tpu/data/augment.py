@@ -44,17 +44,24 @@ class Batch(NamedTuple):
 
 
 def normalize_images(
-    images_u8_bgr: jax.Array, backbone_kind: str
+    images_u8_bgr: jax.Array, backbone_kind: str, dtype=jnp.float32
 ) -> jax.Array:
-    """Raw decoded uint8 BGR HWC frames -> normalized float RGB."""
+    """Raw decoded uint8 BGR HWC frames -> normalized float RGB.
+
+    `dtype`: output dtype. Pass the backbone compute dtype (bf16) on the
+    deployment path — emitting bf16 here fuses the downcast into this
+    elementwise chain instead of paying a separate 75 MB convert+relayout
+    pass before the stem conv (copy.198 in TPU traces, ~180us at batch 128).
+    Normalization math itself always runs in float32.
+    """
     x = images_u8_bgr[..., ::-1].astype(jnp.float32)  # BGR -> RGB
     if backbone_kind == "hrnet":
         mean = jnp.asarray(IMAGENET_MEAN)
         std = jnp.asarray(IMAGENET_STD)
-        return (x / 255.0 - mean) / std
+        return ((x / 255.0 - mean) / std).astype(dtype)
     if backbone_kind == "cpn":
         mean = jnp.asarray(CPN_PIXEL_MEAN) / 255.0
-        return x / 255.0 - mean
+        return (x / 255.0 - mean).astype(dtype)
     raise ValueError(backbone_kind)
 
 

@@ -211,13 +211,14 @@ class Block(nn.Module):
     drop_path: float = 0.0
     ln_eps: float = 1e-6
     dtype: Any = None
+    ln_dtype: Any = jnp.float32
     attn_impl: str = "einsum"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         dim = x.shape[-1]
         # LayerNorm statistics always in fp32 (no-op on the fp32 path)
-        h = nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32,
+        h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.ln_dtype,
                          name="norm1")(x)
         h = Attention(
             self.num_heads,
@@ -230,7 +231,7 @@ class Block(nn.Module):
         )(h, deterministic)
         x = x + DropPath(self.drop_path, name="drop_path1")(h, deterministic)
 
-        h = nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32,
+        h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.ln_dtype,
                          name="norm2")(x)
         h = Mlp(
             int(dim * self.mlp_ratio), dim, self.drop_rate, dtype=self.dtype,

@@ -78,6 +78,7 @@ class DeformableBlock(nn.Module):
     sampler_impl: str = "auto"
     sampler_precision: str = "highest"
     dtype: Any = None
+    ln_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -95,7 +96,7 @@ class DeformableBlock(nn.Module):
 
         x0, x = tokens[:, :1], tokens[:, 1:]
         residual = x
-        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.ln_dtype,
                          name="norm1")(x + x0)
 
         weights = Linear(
@@ -122,7 +123,13 @@ class DeformableBlock(nn.Module):
         pos = pos.reshape(b, levels, p, nh * ns, 2)
 
         # ONE kernel launch samples all 4 levels (per-dispatch overhead on
-        # the small levels dominated their standalone calls)
+        # the small levels dominated their standalone calls). NOTE: a fully
+        # fused variant that also runs the embed_proj matmul + weighted
+        # pooling inside the kernel exists (ops/deformable.py
+        # deformable_aggregate) and measured SLOWER on the flagship
+        # composite (20.7 vs 19.2 ms): the ~100us/block copies it targeted
+        # are the packed-offsets -> (P, 2) points relayout, which both
+        # formulations pay, and the in-kernel epilogue added ~0.35 ms.
         raw = sample_points_levels(
             features, pos, padding_mode="border", align_corners=True,
             impl=self.sampler_impl, precision=self.sampler_precision,
@@ -140,7 +147,7 @@ class DeformableBlock(nn.Module):
         x = residual + DropPath(self.drop_path, name="drop_path1")(
             pooled, deterministic
         )
-        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.ln_dtype, name="norm2")(x)
         h = Mlp(int(dim * self.mlp_ratio), dim, 0.0, dtype=self.dtype,
                 name="mlp")(h, deterministic)
         x = x + DropPath(self.drop_path, name="drop_path2")(h, deterministic)
@@ -172,6 +179,8 @@ class PoseLifter(nn.Module):
         dtype = None if cfg.compute_dtype == "float32" else jnp.dtype(
             cfg.compute_dtype
         )
+        # LayerNorm statistics dtype (head_norm stays fp32 regardless)
+        ln_dtype = jnp.dtype(cfg.ln_dtype)
 
         # stochastic depth decay 0 -> drop_path_rate (pose_dformer.py:187)
         dpr = [
@@ -208,6 +217,7 @@ class PoseLifter(nn.Module):
                     sampler_impl=cfg.sampler,
                     sampler_precision=cfg.sampler_precision,
                     dtype=dtype,
+                    ln_dtype=ln_dtype,
                     name=f"context_block_{i}",
                 )(tokens, ref, features, deterministic)
 
@@ -222,6 +232,7 @@ class PoseLifter(nn.Module):
                 attn_drop_rate=cfg.attn_drop_rate,
                 drop_path=dpr[i],
                 dtype=dtype,
+                ln_dtype=ln_dtype,
                 attn_impl=cfg.attention,
                 name=f"res_block_{i}",
             )(t, deterministic)
@@ -238,6 +249,7 @@ class PoseLifter(nn.Module):
                 attn_drop_rate=cfg.attn_drop_rate,
                 drop_path=dpr[i],
                 dtype=dtype,
+                ln_dtype=ln_dtype,
                 name=f"joint_block_{i}",
             )(t, deterministic)
 

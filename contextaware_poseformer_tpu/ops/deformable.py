@@ -417,6 +417,239 @@ def _multi_bwd(padding_mode, align_corners, interpret, precision, residuals,
 sample_points_multi.defvjp(_multi_fwd, _multi_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Fully-fused deformable aggregation: sampling + per-level projection +
+# weighted sample pooling in ONE kernel launch.
+#
+# The unfused composition (sample_points_levels -> per-level Linear -> stack
+# -> 6-D weighted einsum) left ~100us/level of pathological layout copies on
+# the sampler outputs plus the einsum dispatches (TPU traces, PERF.md). Here
+# the projection matmul runs on the (p, C) samples while they are still in
+# VMEM and the weighted reduction over the `ns` sample axis is a sublane
+# reshape + sum, so only the final pooled (b, L*p*nh, hd) tensor ever reaches
+# HBM. Weights enter as their own (P, 1) lane-minor input: packing them into
+# the points array's lane dim was measured WORSE (the concat lowered to
+# ~0.67 ms of pad/clone ops at batch 128).
+# ---------------------------------------------------------------------------
+
+
+def _aggregate_multi_kernel(pts_ref, wt_ref, *rest, shapes, hd, ns, border,
+                            align_corners, precision):
+    """pts (1, L*P_pad, 2); wt (1, L*P_pad, 1) per-sample attention weights;
+    rest = L feature refs, L projection refs (C_l, hd), L bias refs (1, hd),
+    then the output ref (1, L*P_pad/ns, hd)."""
+    levels = len(shapes)
+    f_refs = rest[:levels]
+    w_refs = rest[levels:2 * levels]
+    b_refs = rest[2 * levels:3 * levels]
+    out_ref = rest[3 * levels]
+    p_pad = pts_ref.shape[1] // levels
+    o_pad = p_pad // ns
+    hi = jax.lax.Precision.HIGHEST
+    for l, (h, w, c) in enumerate(shapes):
+        pts = pts_ref[0, l * p_pad:(l + 1) * p_pad]  # (P, 2)
+        raw = _sample_body(
+            pts, f_refs[l][0], h=h, w=w, c=c, border=border,
+            align_corners=align_corners, precision=precision,
+            two_stage=_use_two_stage(h, w, c), out_dtype=jnp.float32,
+        )  # (P, C) f32
+        wl = w_refs[l][...]
+        bl = b_refs[l][...]
+        if precision == "highest":
+            proj = jnp.dot(raw, wl.astype(jnp.float32),
+                           preferred_element_type=jnp.float32, precision=hi)
+        else:
+            proj = jnp.dot(raw.astype(jnp.bfloat16), wl.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+        proj = proj + bl.astype(jnp.float32)
+        wcol = wt_ref[0, l * p_pad:(l + 1) * p_pad].astype(jnp.float32)
+        wp = proj * wcol  # (P, 1) lane-broadcast over hd
+        pooled = wp.reshape(o_pad, ns, hd).sum(axis=1)
+        out_ref[0, l * o_pad:(l + 1) * o_pad] = pooled.astype(out_ref.dtype)
+
+
+def aggregate_reference(features, points, weights, projs, biases,
+                        padding_mode="border", align_corners=True):
+    """jnp reference of the fused aggregation (identical math; the VJP path
+    and the CPU/"gather" dispatch). Returns (b, L, p, nh*hd)."""
+    b = features[0].shape[0]
+    _, levels, p, nh, ns_ = weights.shape
+    outs = []
+    for l, f in enumerate(features):
+        raw = grid_sample.grid_sample_points(
+            f, points[:, l], padding_mode=padding_mode,
+            align_corners=align_corners,
+        )  # (b, p, nh*ns, C)
+        proj = jnp.dot(raw, projs[l]) + biases[l]
+        hd = proj.shape[-1]
+        proj = proj.reshape(b, p, nh, ns_, hd)
+        pooled = jnp.einsum(
+            "bphs,bphsd->bphd", weights[:, l].astype(proj.dtype), proj
+        )
+        outs.append(pooled.reshape(b, p, nh * hd))
+    return jnp.stack(outs, axis=1)
+
+
+def _aggregate_fwd_impl(features, points, weights, projs, biases, *,
+                        padding_mode, align_corners, interpret, precision):
+    levels = len(features)
+    b = features[0].shape[0]
+    _, _, p, nh, ns = weights.shape
+    hd = projs[0].shape[-1]
+    rows = p * nh * ns
+    # pad rows to a sublane multiple that the (o_pad, ns, hd) reshape can
+    # split evenly (plain 8 when ns divides 8 — avoids pad ops entirely for
+    # the flagship's rows=272)
+    mult = 8 if 8 % ns == 0 else 8 * ns
+    rows_pad = _round_up(max(rows, 8), mult)
+
+    pts = points.reshape(b, levels, rows, 2)
+    wflat = weights.reshape(b, levels, rows, 1).astype(pts.dtype)
+    if rows_pad != rows:
+        pts = jnp.pad(pts, ((0, 0), (0, 0), (0, rows_pad - rows), (0, 0)))
+        wflat = jnp.pad(
+            wflat, ((0, 0), (0, 0), (0, rows_pad - rows), (0, 0))
+        )
+    pts = pts.reshape(b, levels * rows_pad, 2)
+    wflat = wflat.reshape(b, levels * rows_pad, 1)
+
+    shapes = tuple(f.shape[1:] for f in features)
+    f_ins, f_specs = [], []
+    for f in features:
+        _, h, w, c = f.shape
+        if _use_two_stage(h, w, c):
+            f_ins.append(f.reshape(b, h, w * c))
+            f_specs.append(pl.BlockSpec((1, h, w * c), lambda i: (i, 0, 0),
+                                        memory_space=pltpu.VMEM))
+        else:
+            f_ins.append(f.reshape(b, h * w, c))
+            f_specs.append(pl.BlockSpec((1, h * w, c), lambda i: (i, 0, 0),
+                                        memory_space=pltpu.VMEM))
+    w_specs = [
+        pl.BlockSpec(proj.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for proj in projs
+    ]
+    b_ins = [bb.reshape(1, hd) for bb in biases]
+    b_specs = [
+        pl.BlockSpec((1, hd), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for _ in biases
+    ]
+
+    o_pad = rows_pad // ns
+    kernel = functools.partial(
+        _aggregate_multi_kernel, shapes=shapes, hd=hd, ns=ns,
+        border=padding_mode == "border", align_corners=align_corners,
+        precision=precision,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, levels * rows_pad, 2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, levels * rows_pad, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            *f_specs, *w_specs, *b_specs,
+        ],
+        out_specs=pl.BlockSpec((1, levels * o_pad, hd), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, levels * o_pad, hd), features[0].dtype
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=sum(
+                2 * b * rows_pad * (h * w * c + c * hd)
+                for (h, w, c) in shapes
+            ),
+            bytes_accessed=sum(
+                b * (h * w * c + rows_pad * 4 + o_pad * hd) * 4
+                for (h, w, c) in shapes
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(pts, wflat, *f_ins, *projs, *b_ins)
+    out = out.reshape(b, levels, o_pad, hd)
+    p_nh = p * nh
+    return out[:, :, :p_nh].reshape(b, levels, p, nh * hd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _aggregate_fused(features, points, weights, projs, biases,
+                     padding_mode, align_corners, interpret, precision):
+    return _aggregate_fwd_impl(
+        tuple(features), points, weights, tuple(projs), tuple(biases),
+        padding_mode=padding_mode, align_corners=align_corners,
+        interpret=interpret, precision=precision,
+    )
+
+
+def _aggregate_fwd(features, points, weights, projs, biases, padding_mode,
+                   align_corners, interpret, precision):
+    out = _aggregate_fwd_impl(
+        tuple(features), points, weights, tuple(projs), tuple(biases),
+        padding_mode=padding_mode, align_corners=align_corners,
+        interpret=interpret, precision=precision,
+    )
+    return out, (tuple(features), points, weights, tuple(projs),
+                 tuple(biases))
+
+
+def _aggregate_bwd(padding_mode, align_corners, interpret, precision,
+                   residuals, g):
+    features, points, weights, projs, biases = residuals
+    _, vjp = jax.vjp(
+        lambda f, pt, w, pr, bi: aggregate_reference(
+            f, pt, w, pr, bi, padding_mode=padding_mode,
+            align_corners=align_corners,
+        ),
+        features, points, weights, projs, biases,
+    )
+    return vjp(g)
+
+
+_aggregate_fused.defvjp(_aggregate_fwd, _aggregate_bwd)
+
+
+def deformable_aggregate(
+    features,
+    points: jax.Array,   # (b, L, p, nh*ns, 2)
+    weights: jax.Array,  # (b, L, p, nh, ns) softmaxed attention weights
+    projs,               # L x (C_l, hd) per-level projection kernels
+    biases,              # L x (hd,)
+    padding_mode: str = "border",
+    align_corners: bool = True,
+    impl: str = "auto",
+    precision: str = "highest",
+) -> jax.Array:
+    """Fused DeformableBlock aggregation -> (b, L, p, nh*hd).
+
+    Equivalent math (the "gather" dispatch and the training backward):
+    per-level grid_sample at `points`, Linear(C_l -> hd) via projs/biases,
+    weighted sum over the `ns` sample axis (pose_dformer.py:122-138).
+
+    NOT on the flagship path: measured 20.7 vs 19.2 ms composite against the
+    sample_points_levels + Linear + einsum composition at the flagship's
+    shapes (batch 128, p=17, nh=ns=4, hd=32) — the copies it was built to
+    remove are the packed-offsets -> (P, 2) relayout that both forms pay,
+    and the in-kernel projection/pooling epilogue added ~0.35 ms. Kept as a
+    tested alternative: at larger point counts or head dims the balance
+    shifts toward this fully fused form."""
+    if impl == "auto":
+        impl = "fused" if jax.default_backend() == "tpu" else "gather"
+    if impl == "gather":
+        return aggregate_reference(
+            tuple(features), points, weights, tuple(projs), tuple(biases),
+            padding_mode=padding_mode, align_corners=align_corners,
+        )
+    if impl in ("fused", "fused_interpret"):
+        return _aggregate_fused(
+            tuple(features), points, weights, tuple(projs), tuple(biases),
+            padding_mode, align_corners, impl == "fused_interpret", precision,
+        )
+    raise ValueError(impl)
+
+
 def sample_points_levels(
     features,
     points: jax.Array,  # (b, L, ..., 2)

@@ -104,9 +104,12 @@ class RawBatch(NamedTuple):
     keypoints_2d_crop: jax.Array  # (b, J, 2) crop pixels
 
 
-def _prepare(raw: RawBatch, backbone_kind: str, task: Task) -> augment.Batch:
+def _prepare(raw: RawBatch, backbone_kind: str, task: Task,
+             image_dtype=None) -> augment.Batch:
     return augment.Batch(
-        images=augment.normalize_images(raw.images_u8, backbone_kind),
+        images=augment.normalize_images(
+            raw.images_u8, backbone_kind, dtype=image_dtype or jnp.float32
+        ),
         keypoints_3d=augment.root_center(raw.keypoints_3d, task.root_idx),
         keypoints_2d=raw.keypoints_2d,
         keypoints_2d_crop=raw.keypoints_2d_crop,
@@ -177,9 +180,14 @@ def make_eval_step(model, cfg: Config, extra_variables: dict | None = None) -> C
     task = Task.for_config(cfg)
     kind = cfg.model.backbone.kind
     extra = extra_variables or {}
+    # deploy numerics: normalize straight into the backbone compute dtype
+    # (the separate f32->bf16 convert pass cost ~180us/batch in traces)
+    img_dtype = (
+        jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else None
+    )
 
     def eval_step(params, raw: RawBatch):
-        batch = _prepare(raw, kind, task)
+        batch = _prepare(raw, kind, task, image_dtype=img_dtype)
 
         def fwd(images, kp2d, kp2d_crop):
             return model.apply(

@@ -129,3 +129,65 @@ def test_multi_level_fused_matches_per_level(mode):
     for a, c in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_fus)):
         np.testing.assert_allclose(np.asarray(c), np.asarray(a),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_deformable_aggregate_matches_reference():
+    """deformable_aggregate (fused sampling + per-level projection + weighted
+    sample pooling) matches its jnp reference composition, forward and
+    gradients. Not on the flagship path (measured slower there — see the op
+    docstring / PERF.md) but kept as a tested alternative formulation."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from contextaware_poseformer_tpu.ops.deformable import (
+        deformable_aggregate,
+    )
+
+    rng = np.random.RandomState(0)
+    b, levels, p, nh, ns, hd = 2, 4, 17, 4, 4, 32
+    shapes = [(8, 6, 32), (4, 3, 64), (2, 2, 128), (1, 1, 256)]
+    feats = [
+        jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+        for h, w, c in shapes
+    ]
+    pts = jnp.asarray(
+        rng.uniform(-1.2, 1.2, (b, levels, p, nh * ns, 2)).astype(np.float32)
+    )
+    wts = jax.nn.softmax(
+        jnp.asarray(rng.randn(b, levels, p, nh, ns).astype(np.float32)), -1
+    )
+    projs = [
+        jnp.asarray(rng.randn(c, hd).astype(np.float32) * 0.1)
+        for _, _, c in shapes
+    ]
+    biases = [
+        jnp.asarray(rng.randn(hd).astype(np.float32) * 0.1) for _ in shapes
+    ]
+
+    ref = deformable_aggregate(feats, pts, wts, projs, biases, impl="gather")
+    fus = deformable_aggregate(
+        feats, pts, wts, projs, biases, impl="fused_interpret"
+    )
+    assert ref.shape == fus.shape == (b, levels, p, nh * hd)
+    scale = float(jnp.sqrt(jnp.mean(ref**2)))
+    assert float(jnp.max(jnp.abs(ref - fus))) / scale < 1e-5
+
+    def loss(impl):
+        def fn(f0, pt, w, pr0):
+            out = deformable_aggregate(
+                [f0] + feats[1:], pt, w, [pr0] + projs[1:], biases, impl=impl
+            )
+            return jnp.sum(out**2)
+        return fn
+
+    gg = jax.grad(loss("gather"), argnums=(0, 1, 2, 3))(
+        feats[0], pts, wts, projs[0]
+    )
+    gf = jax.grad(loss("fused_interpret"), argnums=(0, 1, 2, 3))(
+        feats[0], pts, wts, projs[0]
+    )
+    for a, bb in zip(gg, gf):
+        s = float(jnp.sqrt(jnp.mean(jnp.asarray(a) ** 2))) + 1e-12
+        assert float(jnp.max(jnp.abs(a - bb))) / s < 1e-4
