@@ -33,7 +33,7 @@ from flax import linen as nn
 from contextaware_poseformer_tpu.config import BackboneConfig, HRNetStageConfig
 from contextaware_poseformer_tpu.models.backbone_common import (
     ConvBN,
-    upsample_nearest,
+    add_upsampled_nearest,
 )
 
 
@@ -185,7 +185,11 @@ class HRNet(nn.Module):
                         f"{prefix}.fuse_layers.{i}.{j}.0",
                         chans[i], 1, 1, relu=False,
                     )(outs[j])
-                    y = upsample_nearest(y, 2 ** (j - i))
+                    # bit-identical blocked-view add: the nearest-upsampled
+                    # tensor is never materialized (j == i always precedes
+                    # j > i, so acc exists here)
+                    acc = add_upsampled_nearest(acc, y, 2 ** (j - i))
+                    continue
                 else:
                     y = outs[j]
                     for k in range(i - j):
