@@ -65,6 +65,49 @@ class StreamingLifter:
 
         self._step = step
         self._ema: dict[int, np.ndarray] = {}
+        # quantize="serve"/"static" needs calibrated activation scales before
+        # the first lift — see prepare()
+        self._needs_prepare = model_cfg.backbone.quantize in (
+            "serve", "static"
+        )
+
+    def prepare(
+        self,
+        frames_u8: np.ndarray,
+        keypoints_2d_full: np.ndarray,
+        image_wh: tuple[float, float],
+        centers: np.ndarray,
+        scales: np.ndarray,
+    ) -> None:
+        """One-time serve-mode preparation from a batch of REAL frames:
+        activation calibration + int8 kernel pre-quantization
+        (models.prepare_serving). Required before lift_batch()/stream() when
+        the model config uses quantize="serve"/"static"."""
+        from contextaware_poseformer_tpu.models.capf import prepare_serving
+
+        kp_norm, crop = self._preprocess(
+            keypoints_2d_full, image_wh, centers, scales
+        )
+        imgs = augment.normalize_images(
+            jnp.asarray(frames_u8), self.model_cfg.backbone.kind
+        )
+        self.params = prepare_serving(
+            self.model, dict(self.params),
+            (imgs, jnp.asarray(kp_norm), jnp.asarray(crop)),
+        )
+        self._needs_prepare = False
+
+    def _preprocess(self, keypoints_2d_full, image_wh, centers, scales):
+        n = len(keypoints_2d_full)
+        h, w = self._hw
+        kp_norm = geometry.normalize_screen_coordinates(
+            keypoints_2d_full, image_wh[0], image_wh[1]
+        ).astype(np.float32)
+        crop = np.empty((n, keypoints_2d_full.shape[1], 2), np.float32)
+        for i in range(n):
+            trans = geometry.get_affine_transform(centers[i], scales[i], (w, h))
+            crop[i] = geometry.affine_transform(keypoints_2d_full[i], trans)
+        return kp_norm, crop
 
     # -- single compiled step over a fixed-size batch -------------------------
 
@@ -76,16 +119,16 @@ class StreamingLifter:
         centers: np.ndarray,  # (N, 2) crop bbox centers (full-frame px)
         scales: np.ndarray,  # (N, 2) crop bbox scales (/200 convention)
     ) -> np.ndarray:
+        if self._needs_prepare:
+            raise ValueError(
+                f'quantize="{self.model_cfg.backbone.quantize}" needs '
+                "calibration: call prepare() with a real frame batch first"
+            )
         n = len(frames_u8)
-        h, w = self._hw
-        kp_norm = geometry.normalize_screen_coordinates(
-            keypoints_2d_full, image_wh[0], image_wh[1]
-        ).astype(np.float32)
         # full-frame detections -> crop pixel coords, per frame
-        crop = np.empty((n, keypoints_2d_full.shape[1], 2), np.float32)
-        for i in range(n):
-            trans = geometry.get_affine_transform(centers[i], scales[i], (w, h))
-            crop[i] = geometry.affine_transform(keypoints_2d_full[i], trans)
+        kp_norm, crop = self._preprocess(
+            keypoints_2d_full, image_wh, centers, scales
+        )
 
         bs = self.cfg.batch_size
         out = np.empty((n, keypoints_2d_full.shape[1], 3), np.float32)

@@ -69,3 +69,40 @@ def test_stream_multi_camera_ema():
     assert sorted(set(cams)) == [0, 1]
     for _, pose in results:
         assert pose.shape == (17, 3) and np.isfinite(pose).all()
+
+
+def test_streaming_serve_mode_requires_and_uses_prepare():
+    """quantize='serve' streaming: lift_batch refuses before prepare(); after
+    prepare() (calibration + weight pre-quantization on real frames) the
+    pipeline runs and stays close to the float path."""
+    import dataclasses
+
+    import pytest
+
+    cfg, params = _setup()
+    scfg = dataclasses.replace(
+        cfg, backbone=dataclasses.replace(cfg.backbone, quantize="serve")
+    )
+    rng = np.random.RandomState(3)
+    n = 4
+    frames = rng.randint(0, 255, (n, 64, 64, 3)).astype(np.uint8)
+    kp_full = rng.uniform(100, 900, (n, 17, 2))
+    centers = np.full((n, 2), 500.0)
+    scales = np.full((n, 2), 1.0)
+
+    sl = StreamingLifter(scfg, dict(params),
+                         StreamingConfig(batch_size=4, use_bf16=False))
+    with pytest.raises(ValueError, match="prepare"):
+        sl.lift_batch(frames, kp_full, (1000, 1000), centers, scales)
+
+    sl.prepare(frames, kp_full, (1000, 1000), centers, scales)
+    out = sl.lift_batch(frames, kp_full, (1000, 1000), centers, scales)
+    assert out.shape == (n, 17, 3)
+    assert np.isfinite(out).all()
+
+    base = StreamingLifter(cfg, params,
+                           StreamingConfig(batch_size=4, use_bf16=False))
+    ref = base.lift_batch(frames, kp_full, (1000, 1000), centers, scales)
+    # int8 layer1 noise stays small relative to the output scale
+    scale = np.abs(ref).mean() + 1e-9
+    assert np.abs(out - ref).max() / scale < 0.5
