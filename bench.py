@@ -98,7 +98,10 @@ def main() -> None:
         imgs = augment.normalize_images(
             imgs_u8, cfg.model.backbone.kind, dtype=jnp.bfloat16
         )
-        return model.apply(params, imgs + salt.astype(jnp.bfloat16), kp, kpc)
+        # anti-caching salt rides on the KEYPOINTS (tiny tensor): salting the
+        # image tensor added a 180us materialize+relayout pass (copy.198)
+        # that the real serving graph doesn't have
+        return model.apply(params, imgs, kp + salt, kpc)
 
     out = lift(params, imgs_u8, kp, kpc, jnp.float32(0))  # compile
     jax.block_until_ready(out)
