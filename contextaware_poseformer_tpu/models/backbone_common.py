@@ -233,7 +233,10 @@ def calibrate_quantization(apply_fn, variables: dict, batches) -> dict:
     """
     for batch in batches:
         _, upd = apply_fn(variables, batch, mutable=["calib"])
-        variables = {**variables, "calib": upd["calib"]}
+        # a model with no statically-quantized convs (e.g. CPN under
+        # "serve", which only has dynamic-quant wide convs) creates no
+        # calib variables at all — an empty collection is valid
+        variables = {**variables, "calib": upd.get("calib", {})}
     return variables
 
 
@@ -249,7 +252,7 @@ def prepare_int8_weights(apply_fn, variables: dict, batch) -> dict:
     FIRST (this pass uses the static path, which needs populated scales).
     """
     _, upd = apply_fn(variables, batch, mutable=["qweights"])
-    return {**variables, "qweights": upd["qweights"]}
+    return {**variables, "qweights": upd.get("qweights", {})}
 
 
 def check_calibrated(variables: dict) -> None:

@@ -70,3 +70,37 @@ def test_cpn_resnet_param_count():
         int(np.prod(l.shape)) for l in jax.tree.leaves(shapes) if l.ndim == 4
     )
     assert 25e6 < n < 32e6, n
+
+
+def test_cpn_serve_prepare_with_no_static_convs():
+    """CPN under quantize='serve' has only dynamic-quant wide convs — no
+    calibration variables exist. prepare_serving must handle the empty
+    collections (regression: KeyError 'calib') and the prepared model must
+    run."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+
+    from contextaware_poseformer_tpu.config import deploy, preset
+    from contextaware_poseformer_tpu.models import (
+        ContextAwarePoseFormer,
+        prepare_serving,
+    )
+
+    cfg = preset("h36m_cpn")
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, image_shape=(64, 64))
+    )
+    model = ContextAwarePoseFormer(cfg=deploy(cfg).model)
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+    kp = jnp.asarray(rng.uniform(-1, 1, (2, 17, 2)).astype(np.float32))
+    kpc = jnp.asarray(rng.uniform(0, 64, (2, 17, 2)).astype(np.float32))
+    v = model.init(jax.random.PRNGKey(0), imgs[:1], kp[:1], kpc[:1])
+    v = prepare_serving(model, v, (imgs, kp, kpc))
+    assert "calib" in v and "qweights" in v
+    out = model.apply(v, imgs, kp, kpc)
+    assert out.shape == (2, 17, 3)
+    assert bool(jnp.all(jnp.isfinite(out)))
