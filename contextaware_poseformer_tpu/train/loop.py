@@ -181,28 +181,35 @@ class Trainer:
         return state, {"train_loss": mean_loss, "epoch_time_s": time.time() - t0,
                        "steps": n}
 
-    def evaluate(self, params, max_batches: int | None = None) -> dict[str, float]:
-        if not self._serving_ready:
-            from contextaware_poseformer_tpu.data import augment
-            from contextaware_poseformer_tpu.models import prepare_serving
+    def _ensure_serving_ready(self, params) -> None:
+        """One-time quantize="serve"/"static" calibration from the first val
+        batch; rebuilds the eval step with the calib/qweights collections.
+        Called by every evaluate() implementation (incl. Trainer3dhp's)."""
+        if self._serving_ready:
+            return
+        from contextaware_poseformer_tpu.data import augment
+        from contextaware_poseformer_tpu.models import prepare_serving
 
-            first = next(pipeline.batch_iterator(
-                self.val_ds, min(self.cfg.train.batch_size, 16),
-                shuffle=False, num_workers=2,
-            ))[0]
-            batch = (
-                augment.normalize_images(
-                    jnp.asarray(first.images_u8), self.cfg.model.backbone.kind
-                ),
-                jnp.asarray(first.keypoints_2d),
-                jnp.asarray(first.keypoints_2d_crop),
-            )
-            v = prepare_serving(self.model, {"params": params}, batch)
-            extra = {k: val for k, val in v.items() if k != "params"}
-            self._eval_step = jax.jit(
-                steps.make_eval_step(self.model, self.cfg, extra)
-            )
-            self._serving_ready = True
+        first = next(pipeline.batch_iterator(
+            self.val_ds, min(self.cfg.train.batch_size, 16),
+            shuffle=False, num_workers=2,
+        ))[0]
+        batch = (
+            augment.normalize_images(
+                jnp.asarray(first.images_u8), self.cfg.model.backbone.kind
+            ),
+            jnp.asarray(first.keypoints_2d),
+            jnp.asarray(first.keypoints_2d_crop),
+        )
+        v = prepare_serving(self.model, {"params": params}, batch)
+        extra = {k: val for k, val in v.items() if k != "params"}
+        self._eval_step = jax.jit(
+            steps.make_eval_step(self.model, self.cfg, extra)
+        )
+        self._serving_ready = True
+
+    def evaluate(self, params, max_batches: int | None = None) -> dict[str, float]:
+        self._ensure_serving_ready(params)
         host_iter = pipeline.batch_iterator(
             self.val_ds, self.cfg.train.batch_size,
             shuffle=False, drop_remainder=False,

@@ -36,6 +36,7 @@ class Trainer3dhp(Trainer):
     def evaluate(self, params, max_batches: int | None = None):
         from contextaware_poseformer_tpu.data import pipeline
 
+        self._ensure_serving_ready(params)
         host_iter = pipeline.batch_iterator(
             self.val_ds, self.cfg.train.batch_size,
             shuffle=False, drop_remainder=False,
@@ -82,8 +83,14 @@ class Trainer3dhp(Trainer):
 
 def build_argparser():
     p = argparse.ArgumentParser(description="Context-Aware PoseFormer (TPU) - 3DHP")
-    p.add_argument("--preset", default="mpi_3dhp_hrnet_32",
-                   choices=["mpi_3dhp_hrnet_32", "mpi_3dhp_hrnet_48"])
+    p.add_argument(
+        "--preset", default="mpi_3dhp_hrnet_32",
+        choices=[
+            n + s
+            for n in ("mpi_3dhp_hrnet_32", "mpi_3dhp_hrnet_48")
+            for s in ("", "_deploy")
+        ],
+    )
     p.add_argument("--eval", action="store_true")
     p.add_argument("--data-root", default="dataset")
     p.add_argument("--train-npz", default=None)

@@ -89,3 +89,19 @@ def test_3dhp_driver_smoke(tmp_path):
         "--epochs", "1", "--logdir", str(tmp_path / "run"),
     ])
     assert np.isfinite(best)
+
+
+def test_3dhp_deploy_preset_eval(tmp_path):
+    """--eval with the *_deploy preset (quantize="serve"): Trainer3dhp's
+    evaluate calibrates lazily via _ensure_serving_ready (regression: it
+    bypassed the base-class calibration and crashed on the empty calib
+    collection)."""
+    from contextaware_poseformer_tpu.train import train_3dhp
+
+    summary = train_3dhp.main([
+        "--preset", "mpi_3dhp_hrnet_32_deploy", "--synthetic", "--tiny",
+        "--batch-size", "16", "--eval-batches", "1", "--eval",
+        "--logdir", str(tmp_path / "run"),
+    ])
+    assert np.isfinite(summary["p1_mm"])
+    assert 0.0 <= summary["pck"] <= 100.0
