@@ -51,6 +51,12 @@ class BackboneConfig:
     # "static": per-conv static-scale int8 on 3x3 convs >= 16ch (measured
     # neutral on the flagship graph; kept for other topologies)
     quantize: str = "none"
+    # activation-scale calibration statistic: 1.0 = exact max|x| (classic
+    # max-amax); q < 1 = per-batch q-quantile of |x| (histogram estimate,
+    # running max across batches) — clips the outlier tail so the int8 grid
+    # spends its 255 steps on the bulk of the distribution. Only read during
+    # calibrate_quantization passes; the inference graph is unchanged.
+    calib_quantile: float = 1.0
     stage2: HRNetStageConfig = HRNetStageConfig(1, 2, (4, 4), (32, 64))
     stage3: HRNetStageConfig = HRNetStageConfig(4, 3, (4, 4, 4), (32, 64, 128))
     stage4: HRNetStageConfig = HRNetStageConfig(

@@ -59,6 +59,22 @@ class Mpi3dhpDataset:
     def __len__(self):
         return len(self.image_paths)
 
+    def shard(self, rank: int, world_size: int) -> list[int]:
+        """Contiguous per-rank slice (same contract as H36MDataset.shard)."""
+        n = len(self) // world_size
+        dist_size = [
+            n if i < world_size - 1 else len(self) - n * (world_size - 1)
+            for i in range(world_size)
+        ]
+        start = n * rank
+        end = len(self) if rank == world_size - 1 else start + n
+        for name in (
+            "joints_3d", "joints_2d", "joints_2d_crop", "image_paths",
+            "seq_idx", "action_idx",
+        ):
+            setattr(self, name, getattr(self, name)[start:end])
+        return dist_size
+
     def load_batch(self, idxs: np.ndarray) -> np.ndarray | None:
         """Native whole-batch decode (frames are pre-cropped on disk,
         convert_to_small.py:282-289); None -> per-item fallback."""

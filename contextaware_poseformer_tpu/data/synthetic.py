@@ -70,5 +70,22 @@ class SyntheticPoseDataset:
     def __len__(self):
         return self.size
 
+    def shard(self, rank: int, world_size: int) -> list[int]:
+        """Contiguous per-rank slice (same contract as H36MDataset.shard)."""
+        n = len(self) // world_size
+        dist_size = [
+            n if i < world_size - 1 else len(self) - n * (world_size - 1)
+            for i in range(world_size)
+        ]
+        start = n * rank
+        end = len(self) if rank == world_size - 1 else start + n
+        for name in (
+            "joints_3d", "joints_2d", "joints_2d_crop", "action_idx",
+            "seq_idx", "_images",
+        ):
+            setattr(self, name, getattr(self, name)[start:end])
+        self.size = end - start
+        return dist_size
+
     def load_image(self, idx: int) -> np.ndarray:
         return self._images[idx]

@@ -27,6 +27,29 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+def observed_amax(x: jax.Array, quantile: float = 1.0) -> jax.Array:
+    """Calibration statistic for activation int8 scales.
+
+    quantile=1.0: exact max|x|. quantile<1 (e.g. 0.9995): a histogram
+    estimate of the q-quantile of |x| — robust to the handful of outlier
+    activations that otherwise stretch the int8 grid (values above the
+    estimate saturate at +/-127 at inference, trading rare clipping for
+    2-5x finer resolution on the bulk). Histogram (2048 bins over
+    [0, max|x|]) instead of a sort: linear cost, calibration runs on the
+    host CPU backend (models/capf.py prepare_serving).
+    """
+    ax = jnp.abs(x.astype(jnp.float32))
+    m = jnp.max(ax)
+    if quantile >= 1.0:
+        return m
+    nbins = 2048
+    hist, _ = jnp.histogram(ax, bins=nbins, range=(0.0, m))
+    cum = jnp.cumsum(hist) / ax.size
+    idx = jnp.argmax(cum >= quantile)
+    # upper edge of the first bin reaching the quantile
+    return (idx + 1).astype(jnp.float32) * m / nbins
+
+
 class ConvBN(nn.Module):
     """Conv2d (no bias) + folded frozen BatchNorm + optional ReLU, NHWC.
 
@@ -62,6 +85,7 @@ class ConvBN(nn.Module):
     relu: bool = False
     dtype: Any = jnp.float32
     quantize: str = "none"  # "none" | "c128" | "static" | "serve"
+    calib_quantile: float = 1.0  # see observed_amax
 
     @nn.compact
     def __call__(self, x, x_quant=None) -> jax.Array:
@@ -96,9 +120,9 @@ class ConvBN(nn.Module):
                 "calib", "amax", lambda: jnp.zeros((), jnp.float32)
             )
             if self.is_mutable_collection("calib"):
-                # calibration pass: observe |x| max, compute in float
+                # calibration pass: observe the amax statistic, compute float
                 amax_v.value = jnp.maximum(
-                    amax_v.value, jnp.max(jnp.abs(x)).astype(jnp.float32)
+                    amax_v.value, observed_amax(x, self.calib_quantile)
                 )
                 static_int8 = False
         if dyn_int8 or static_int8 or x_quant is not None:

@@ -63,19 +63,21 @@ def prepare_serving(model, variables: dict, example_args, batches=None) -> dict:
     if quant == "none":
         return variables
 
+    # Materialize once up front: `batches` may be a generator, and it feeds
+    # both the calibration pass and the weight-prep batch below.
+    batches = list(batches) if batches is not None else [example_args]
+    if not batches:
+        batches = [example_args]
+
     def apply_fn(v, batch, **kw):
         return model.apply(
             v, batch[0], method=lambda m, images: m.backbone(images), **kw
         )
 
     if quant in ("serve", "static"):
-        variables = calibrate_quantization(
-            apply_fn, variables, list(batches) if batches else [example_args]
-        )
+        variables = calibrate_quantization(apply_fn, variables, batches)
         check_calibrated(variables)
-    variables = prepare_int8_weights(
-        apply_fn, variables, batches[0] if batches else example_args
-    )
+    variables = prepare_int8_weights(apply_fn, variables, batches[0])
     return variables
 
 

@@ -26,11 +26,23 @@ import numpy as np
 BN_EPS = 1e-5  # torch BatchNorm2d default
 
 
-def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
-    """Load a .pth/.bin/.tar checkpoint into a flat numpy state dict."""
+def load_torch_state_dict(
+    path: str, allow_pickle: bool = False
+) -> dict[str, np.ndarray]:
+    """Load a .pth/.bin/.tar checkpoint into a flat numpy state dict.
+
+    Defaults to `weights_only=True` (tensors only — arbitrary-pickle
+    checkpoints can execute code on load). Legacy checkpoints that pickle
+    non-tensor objects need an explicit `allow_pickle=True` opt-in.
+    """
     import torch
 
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        if not allow_pickle:
+            raise
+        obj = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(obj, dict):
         for key in ("state_dict", "model"):
             if key in obj and isinstance(obj[key], dict):

@@ -47,7 +47,8 @@ class CPN(nn.Module):
     def _conv(self, name, feat, ks, stride, relu):
         return ConvBN(
             features=feat, kernel_size=ks, stride=stride, relu=relu,
-            dtype=self.dtype, quantize=self.cfg.quantize, name=name,
+            dtype=self.dtype, quantize=self.cfg.quantize,
+            calib_quantile=self.cfg.calib_quantile, name=name,
         )
 
     def _resnet_bottleneck(self, x, prefix, planes, stride, downsample):

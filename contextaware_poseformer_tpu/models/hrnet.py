@@ -44,7 +44,8 @@ class HRNet(nn.Module):
     def _conv(self, name: str, feat: int, ks: int, stride: int, relu: bool):
         return ConvBN(
             features=feat, kernel_size=ks, stride=stride, relu=relu,
-            dtype=self.dtype, quantize=self.cfg.quantize, name=name,
+            dtype=self.dtype, quantize=self.cfg.quantize,
+            calib_quantile=self.cfg.calib_quantile, name=name,
         )
 
     def _basic_block(self, x, prefix: str, planes: int):
@@ -79,7 +80,16 @@ class HRNet(nn.Module):
         residuals measured NEUTRAL here). Returns (xq_int8, amax) at
         inference — the transition1 convs consume it directly so the
         dequantized float tensor never exists in HBM. During calibration
-        (mutable "calib") runs the exact float path and records scales.
+        (mutable "calib") this method runs the c128 graph (layer1 bottleneck
+        convs float, but any ConvBN with both channel counts >= 128 still
+        dynamic-int8) while observing scales — observed amax values describe
+        the c128 graph, not a fully-float forward.
+
+        CONTRACT: at inference the calib scales MUST be populated (via
+        models.prepare_serving / calibrate_quantization). Uninitialized
+        (zero) scales clamp to 1e-12 and saturate every activation to
+        +/-127 — garbage outputs with no error. prepare_serving runs
+        check_calibrated(); direct model.apply users must do the same.
         """
         calibrating = self.is_mutable_collection("calib")
 
@@ -96,9 +106,13 @@ class HRNet(nn.Module):
             for t in ("t1", "t2", "out")
         }
 
+        from contextaware_poseformer_tpu.models.backbone_common import (
+            observed_amax,
+        )
+
         def observe(v, t):
             v.value = jnp.maximum(
-                v.value, jnp.max(jnp.abs(t)).astype(jnp.float32)
+                v.value, observed_amax(t, self.cfg.calib_quantile)
             )
 
         if calibrating:

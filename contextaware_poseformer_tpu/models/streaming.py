@@ -18,6 +18,7 @@ smoothing on the host without breaking the stateless compiled graph.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass
 from typing import Iterator
 
@@ -65,6 +66,8 @@ class StreamingLifter:
 
         self._step = step
         self._ema: dict[int, np.ndarray] = {}
+        self._latencies_ms: list[float] = []
+        self._latency_frames = 0
         # quantize="serve"/"static" needs calibrated activation scales before
         # the first lift — see prepare()
         self._needs_prepare = model_cfg.backbone.quantize in (
@@ -98,15 +101,16 @@ class StreamingLifter:
         self._needs_prepare = False
 
     def _preprocess(self, keypoints_2d_full, image_wh, centers, scales):
-        n = len(keypoints_2d_full)
         h, w = self._hw
         kp_norm = geometry.normalize_screen_coordinates(
             keypoints_2d_full, image_wh[0], image_wh[1]
         ).astype(np.float32)
-        crop = np.empty((n, keypoints_2d_full.shape[1], 2), np.float32)
-        for i in range(n):
-            trans = geometry.get_affine_transform(centers[i], scales[i], (w, h))
-            crop[i] = geometry.affine_transform(keypoints_2d_full[i], trans)
+        # batched affine solve: one (N,3,3) np.linalg.solve instead of a
+        # per-frame Python loop (host bottleneck at multi-camera rates)
+        trans = geometry.get_affine_transform_batch(centers, scales, (w, h))
+        crop = geometry.affine_transform_batch(
+            keypoints_2d_full, trans
+        ).astype(np.float32)
         return kp_norm, crop
 
     # -- single compiled step over a fixed-size batch -------------------------
@@ -125,13 +129,23 @@ class StreamingLifter:
                 "calibration: call prepare() with a real frame batch first"
             )
         n = len(frames_u8)
-        # full-frame detections -> crop pixel coords, per frame
+        t0 = time.perf_counter()
+        # full-frame detections -> crop pixel coords, batched affine
         kp_norm, crop = self._preprocess(
             keypoints_2d_full, image_wh, centers, scales
         )
 
         bs = self.cfg.batch_size
         out = np.empty((n, keypoints_2d_full.shape[1], 3), np.float32)
+        # Double-buffered: JAX dispatch is async, so enqueue chunk i+1's H2D
+        # + compute before fetching chunk i's result — the transfer of the
+        # next batch overlaps the current batch's device time.
+        inflight: list[tuple[slice, int, jax.Array]] = []
+
+        def drain():
+            idx0, m0, r0 = inflight.pop(0)
+            out[idx0] = np.asarray(r0)[:m0]
+
         for start in range(0, n, bs):
             idx = slice(start, min(start + bs, n))
             m = out[idx].shape[0]
@@ -149,8 +163,38 @@ class StreamingLifter:
                 jnp.asarray(pad(kp_norm[idx])),
                 jnp.asarray(pad(crop[idx])),
             )
-            out[idx] = np.asarray(res)[:m]
+            inflight.append((idx, m, res))
+            if len(inflight) > 1:
+                drain()
+        while inflight:
+            drain()
+        self._record_latency((time.perf_counter() - t0) * 1e3, n)
         return out
+
+    # -- latency accounting ---------------------------------------------------
+
+    def _record_latency(self, ms: float, n_frames: int) -> None:
+        self._latencies_ms.append(ms)
+        self._latency_frames += n_frames
+        if len(self._latencies_ms) > 4096:
+            del self._latencies_ms[: len(self._latencies_ms) - 4096]
+
+    def latency_stats(self) -> dict[str, float]:
+        """p50/p99 lift_batch wall latency (ms, host-observed: preprocess +
+        H2D + device + D2H) over the recorded window, plus mean frames/sec."""
+        if not self._latencies_ms:
+            return {"n": 0}
+        lat = np.asarray(self._latencies_ms)
+        return {
+            "n": len(lat),
+            "p50_ms": float(np.percentile(lat, 50)),
+            "p90_ms": float(np.percentile(lat, 90)),
+            "p99_ms": float(np.percentile(lat, 99)),
+            "mean_ms": float(lat.mean()),
+            "frames_per_sec": float(
+                self._latency_frames / (lat.sum() / 1e3)
+            ),
+        }
 
     # -- stream interface ------------------------------------------------------
 

@@ -49,3 +49,65 @@ def initialize(
         "local_devices": len(jax.local_devices()),
         "global_devices": len(jax.devices()),
     }
+
+
+def _shard_start(s) -> tuple:
+    """Sort key: a shard's position in the global array (leading axis)."""
+    idx = s.index[0] if s.index else slice(0, 0)
+    return (idx.start or 0,)
+
+
+def local_rows(x) -> "np.ndarray":
+    """This process's rows of a (possibly non-addressable) batch-sharded
+    global array, in global order. For single-process arrays this is just
+    np.asarray. Replaces the reference's implicit per-rank result tensors
+    (ContextPose/train.py:203-204)."""
+    import numpy as np
+
+    if not isinstance(x, jax.Array) or x.is_fully_addressable:
+        return np.asarray(x)
+    shards = sorted(x.addressable_shards, key=_shard_start)
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
+def allgather_hosts(local: "np.ndarray") -> "np.ndarray":
+    """Concatenate per-host arrays along axis 0 (process-major order),
+    allowing DIFFERENT lengths per host: pad to the max length, gather,
+    trim — the functional twin of the reference's padded all_gather +
+    dist_size trim (ContextPose/train.py:216-226)."""
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return np.asarray(local)
+    from jax.experimental import multihost_utils
+
+    local = np.ascontiguousarray(local)
+    n = np.asarray([local.shape[0]], np.int64)
+    counts = np.asarray(multihost_utils.process_allgather(n, tiled=True))
+    max_n = int(counts.max())
+    if local.shape[0] < max_n:
+        pad = np.zeros((max_n - local.shape[0], *local.shape[1:]), local.dtype)
+        local = np.concatenate([local, pad], axis=0)
+    gathered = np.asarray(multihost_utils.process_allgather(local, tiled=True))
+    parts = [
+        gathered[i * max_n : i * max_n + int(counts[i])]
+        for i in range(len(counts))
+    ]
+    return np.concatenate(parts, axis=0)
+
+
+def put_batch(batch, sharding):
+    """Batch -> global device array under `sharding` (leading-axis data
+    sharding). Single-process: plain device_put. Multi-process: each host
+    contributes its own local batch via make_array_from_process_local_data
+    (global batch = process_count x local batch, process-major)."""
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return jax.device_put(batch, sharding)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)
+        ),
+        batch,
+    )

@@ -26,6 +26,7 @@ from contextaware_poseformer_tpu.data import pipeline
 from contextaware_poseformer_tpu.models import ContextAwarePoseFormer
 from contextaware_poseformer_tpu.parallel import (
     batch_sharding,
+    distributed,
     make_mesh,
     param_shardings,
     replicated,
@@ -98,19 +99,27 @@ class Trainer:
         self.logdir = logdir
         self.steps_per_epoch = max(len(train_ds) // cfg.train.batch_size, 1)
         self.optimizer = steps.make_optimizer(cfg, self.steps_per_epoch)
-        self.writer = MetricWriter(logdir)
-        self.ckpt = CheckpointManager(os.path.join(logdir, "checkpoints")) if logdir else None
+        # multi-host: only process 0 writes metrics/checkpoints (the
+        # reference's master-rank guard, train.py:228-237)
+        self.is_main = jax.process_index() == 0
+        self.writer = MetricWriter(logdir if self.is_main else None)
+        self.ckpt = (
+            CheckpointManager(os.path.join(logdir, "checkpoints"))
+            if logdir and self.is_main else None
+        )
 
         # lazy: inference-only quantize modes reject train-step construction,
         # and an eval-only Trainer (--eval with a *_deploy preset) never
         # needs one
         self.__train_step = None
         self._eval_step = jax.jit(steps.make_eval_step(self.model, cfg))
-        # quantize="serve"/"static" needs one-time activation calibration;
-        # done lazily on the first evaluate() call (real val data)
-        self._serving_ready = cfg.model.backbone.quantize not in (
-            "serve", "static"
-        )
+        # quantize="serve"/"static" needs activation calibration; done
+        # lazily on the first evaluate() call (real val data). Keyed on the
+        # params object so a later evaluate(other_params) re-calibrates
+        # instead of silently mixing new float params with stale
+        # qweights/calib scales.
+        self._needs_serving = cfg.model.backbone.quantize in ("serve", "static")
+        self._serving_params_key = None
 
     @property
     def _train_step(self):
@@ -160,7 +169,9 @@ class Trainer:
     # -- epochs --------------------------------------------------------------
 
     def _put(self, batch: steps.RawBatch) -> steps.RawBatch:
-        return jax.device_put(batch, batch_sharding(self.mesh))
+        # multi-host: each process contributes its local batch; global batch
+        # = process_count x local batch (parallel/distributed.put_batch)
+        return distributed.put_batch(batch, batch_sharding(self.mesh))
 
     def train_epoch(self, state: steps.TrainState, epoch: int, rng,
                     max_steps: int | None = None):
@@ -182,31 +193,44 @@ class Trainer:
                        "steps": n}
 
     def _ensure_serving_ready(self, params) -> None:
-        """One-time quantize="serve"/"static" calibration from the first val
-        batch; rebuilds the eval step with the calib/qweights collections.
-        Called by every evaluate() implementation (incl. Trainer3dhp's)."""
-        if self._serving_ready:
+        """quantize="serve"/"static" calibration from val batches (>= 64
+        samples when the dataset has them); rebuilds the eval step with the
+        calib/qweights collections. Called by every evaluate() implementation
+        (incl. Trainer3dhp's). Re-runs whenever a DIFFERENT params tree is
+        evaluated — the pre-quantized kernels and activation scales are
+        derived from the params and must not outlive them."""
+        key = id(params)
+        if not self._needs_serving or self._serving_params_key == key:
             return
         from contextaware_poseformer_tpu.data import augment
         from contextaware_poseformer_tpu.models import prepare_serving
 
-        first = next(pipeline.batch_iterator(
+        # drop_remainder=False: tiny val sets (< batch size) still yield one
+        # padded batch, which is fine for amax calibration
+        it = pipeline.batch_iterator(
             self.val_ds, min(self.cfg.train.batch_size, 16),
-            shuffle=False, num_workers=2,
-        ))[0]
-        batch = (
-            augment.normalize_images(
-                jnp.asarray(first.images_u8), self.cfg.model.backbone.kind
-            ),
-            jnp.asarray(first.keypoints_2d),
-            jnp.asarray(first.keypoints_2d_crop),
+            shuffle=False, drop_remainder=False, num_workers=2,
         )
-        v = prepare_serving(self.model, {"params": params}, batch)
+        n_batches = max(1, -(-64 // min(self.cfg.train.batch_size, 16)))
+        batches = []
+        for raw, _valid in it:
+            batches.append((
+                augment.normalize_images(
+                    jnp.asarray(raw.images_u8), self.cfg.model.backbone.kind
+                ),
+                jnp.asarray(raw.keypoints_2d),
+                jnp.asarray(raw.keypoints_2d_crop),
+            ))
+            if len(batches) >= n_batches:
+                break
+        v = prepare_serving(
+            self.model, {"params": params}, batches[0], batches=batches
+        )
         extra = {k: val for k, val in v.items() if k != "params"}
         self._eval_step = jax.jit(
             steps.make_eval_step(self.model, self.cfg, extra)
         )
-        self._serving_ready = True
+        self._serving_params_key = key
 
     def evaluate(self, params, max_batches: int | None = None) -> dict[str, float]:
         self._ensure_serving_ready(params)
@@ -220,14 +244,21 @@ class Trainer:
             pipeline.device_prefetch(host_iter, self._put)
         ):
             pred, gt = self._eval_step(params, batch)
-            preds.append(np.asarray(pred)[:valid])
-            gts.append(np.asarray(gt)[:valid])
+            # local_rows: this process's shard rows (multi-host safe; plain
+            # np.asarray on a single host)
+            preds.append(distributed.local_rows(pred)[:valid])
+            gts.append(distributed.local_rows(gt)[:valid])
             total += valid
             if max_batches and i + 1 >= max_batches:
                 break
-        pred = np.concatenate(preds, axis=0)
-        gt = np.concatenate(gts, axis=0)
-        action_idx = np.asarray(self.val_ds.action_idx[:total])
+        # gather per-host results (reference: padded all_gather + dist_size
+        # trim, train.py:216-226); val_ds is the process-LOCAL shard, so
+        # action indices ride the same gather to stay aligned
+        pred = distributed.allgather_hosts(np.concatenate(preds, axis=0))
+        gt = distributed.allgather_hosts(np.concatenate(gts, axis=0))
+        action_idx = distributed.allgather_hosts(
+            np.asarray(self.val_ds.action_idx[:total])
+        )
         scores = metrics_lib.h36m_evaluate(gt, pred, action_idx)
         return metrics_lib.h36m_summary(scores), scores
 
@@ -247,7 +278,8 @@ class Trainer:
                 )
             )
             record = {"epoch": epoch, "lr": lr, **train_m, **summary}
-            self.writer.write(record)
+            if self.is_main:
+                self.writer.write(record)
             if self.ckpt:
                 self.ckpt.save(epoch, state, {"p1_mm": summary["p1_mm"]})
             best_p1 = min(best_p1, summary["p1_mm"])

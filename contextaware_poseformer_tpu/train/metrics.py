@@ -68,16 +68,29 @@ def h36m_evaluate(
             "MPJPE": tot["MPJPE"] / n,
             "P_MPJPE": tot["P_MPJPE"] / n,
             "MPJVE": tot["MPJVE"] / n,
+            "frame_count": tot["frame_count"],
         }
     return merged
 
 
 def h36m_summary(action_scores: Mapping[str, Mapping[str, float]]) -> dict[str, float]:
     """Headline numbers in mm: unweighted mean over actions x1000
-    (train.py:385-395, 421-437)."""
-    p1 = [v["MPJPE"] * 1000 for v in action_scores.values()]
-    p2 = [v["P_MPJPE"] * 1000 for v in action_scores.values()]
-    vel = [v["MPJVE"] * 1000 for v in action_scores.values()]
+    (train.py:385-395, 421-437).
+
+    Actions with zero evaluated frames (smoke evals truncated with
+    --eval-batches) are EXCLUDED from the means instead of diluting them
+    with zeros; at full eval every action is present and this matches the
+    reference exactly (which would divide by zero on an absent action,
+    human36m.py:412-416)."""
+    present = [
+        v for v in action_scores.values() if v.get("frame_count", 1) > 0
+    ]
+    if not present:
+        return {"p1_mm": float("nan"), "p2_mm": float("nan"),
+                "mpjve_mm": float("nan")}
+    p1 = [v["MPJPE"] * 1000 for v in present]
+    p2 = [v["P_MPJPE"] * 1000 for v in present]
+    vel = [v["MPJVE"] * 1000 for v in present]
     return {
         "p1_mm": float(np.mean(p1)),
         "p2_mm": float(np.mean(p2)),

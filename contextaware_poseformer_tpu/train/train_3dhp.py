@@ -35,6 +35,7 @@ class Trainer3dhp(Trainer):
 
     def evaluate(self, params, max_batches: int | None = None):
         from contextaware_poseformer_tpu.data import pipeline
+        from contextaware_poseformer_tpu.parallel import distributed
 
         self._ensure_serving_ready(params)
         host_iter = pipeline.batch_iterator(
@@ -47,17 +48,19 @@ class Trainer3dhp(Trainer):
             pipeline.device_prefetch(host_iter, self._put)
         ):
             pred, gt = self._eval_step(params, batch)
-            preds.append(np.asarray(pred)[:valid])
-            gts.append(np.asarray(gt)[:valid])
+            preds.append(distributed.local_rows(pred)[:valid])
+            gts.append(distributed.local_rows(gt)[:valid])
             total += valid
             if max_batches and i + 1 >= max_batches:
                 break
-        pred = np.concatenate(preds)
-        gt = np.concatenate(gts)
+        pred = distributed.allgather_hosts(np.concatenate(preds))
+        gt = distributed.allgather_hosts(np.concatenate(gts))
         pred[:, 14] = 0.0  # root zeroed before error (run_3dhp.py:118)
 
         p1 = float(np.mean(np.linalg.norm(pred - gt, axis=-1)))
-        seq_idx = np.asarray(self.val_ds.seq_idx[:total])
+        seq_idx = distributed.allgather_hosts(
+            np.asarray(self.val_ds.seq_idx[:total])
+        )
         errors = metrics_lib.joint_errors_mm(pred, gt)
         seq_errors = {
             name: errors[seq_idx == i]
@@ -107,6 +110,10 @@ def build_argparser():
     p.add_argument("--steps-per-epoch", type=int, default=None)
     p.add_argument("--eval-batches", type=int, default=None)
     p.add_argument("--model-parallel", type=int, default=1)
+    p.add_argument("--distributed", action="store_true")
+    p.add_argument("--coordinator", default=None)
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     return p
 
 
@@ -165,9 +172,15 @@ def make_datasets(cfg, args):
 
 
 def main(argv=None):
+    from contextaware_poseformer_tpu.train.train_h36m import (
+        setup_distributed,
+        shard_datasets,
+    )
+
     args = build_argparser().parse_args(argv)
+    topo = setup_distributed(args)
     cfg = make_config(args)
-    train_ds, val_ds = make_datasets(cfg, args)
+    train_ds, val_ds = shard_datasets(*make_datasets(cfg, args), topo)
 
     trainer = Trainer3dhp(cfg, train_ds, val_ds, logdir=args.logdir,
                           model_parallel=args.model_parallel)

@@ -56,7 +56,39 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="tiny model (synthetic smoke/testing)")
     p.add_argument("--steps-per-epoch", type=int, default=None)
     p.add_argument("--eval-batches", type=int, default=None)
+    # multi-host (the reference's torch.distributed.launch analog): on TPU
+    # pods --distributed alone auto-detects; on CPU/GPU give the rendezvous
+    p.add_argument("--distributed", action="store_true",
+                   help="jax.distributed multi-process run")
+    p.add_argument("--coordinator", default=None,
+                   help="coordinator host:port (auto-detected on TPU)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     return p
+
+
+def setup_distributed(args):
+    """Initialize multi-host collectives + report topology; called before
+    any device use. Returns the topology dict (process_index/count)."""
+    from contextaware_poseformer_tpu.parallel import distributed
+
+    if not args.distributed:
+        return {"process_index": 0, "process_count": 1}
+    return distributed.initialize(
+        coordinator_address=args.coordinator,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+    )
+
+
+def shard_datasets(train_ds, val_ds, topo):
+    """Per-process contiguous dataset shards (the reference's per-rank label
+    slicing + DistributedSampler, human36m.py:536-552 / train.py:68-71).
+    Both train AND val shard: eval results ride allgather_hosts back."""
+    if topo["process_count"] > 1:
+        train_ds.shard(topo["process_index"], topo["process_count"])
+        val_ds.shard(topo["process_index"], topo["process_count"])
+    return train_ds, val_ds
 
 
 def make_config(args):
@@ -145,8 +177,9 @@ def make_datasets(cfg, args):
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+    topo = setup_distributed(args)
     cfg = make_config(args)
-    train_ds, val_ds = make_datasets(cfg, args)
+    train_ds, val_ds = shard_datasets(*make_datasets(cfg, args), topo)
 
     from contextaware_poseformer_tpu.train.loop import Trainer
 

@@ -75,6 +75,55 @@ def affine_transform(points: np.ndarray, trans: np.ndarray) -> np.ndarray:
     return pts @ trans[:, :2].T + trans[:, 2]
 
 
+def get_affine_transform_batch(
+    centers: np.ndarray,  # (N, 2)
+    scales: np.ndarray,  # (N, 2)
+    output_size,
+    inv: bool = False,
+) -> np.ndarray:
+    """Batched get_affine_transform -> (N, 2, 3), bit-identical per row.
+
+    The per-frame Python loop of 2x3 solves is a host bottleneck at
+    streaming rates (models/streaming.py); numpy's solve handles the stacked
+    (N, 3, 3) systems in one call.
+    """
+    centers = np.asarray(centers, dtype=np.float32).reshape(-1, 2)
+    scales = np.asarray(scales, dtype=np.float32).reshape(-1, 2)
+    n = len(centers)
+    scale_tmp = scales * 200.0
+    src_w = scale_tmp[:, 0]  # (N,)
+    dst_w, dst_h = float(output_size[0]), float(output_size[1])
+
+    src = np.zeros((n, 3, 2), dtype=np.float32)
+    dst = np.zeros((n, 3, 2), dtype=np.float32)
+    src[:, 0] = centers
+    src[:, 1] = centers + np.stack(
+        [np.zeros(n, np.float32), (src_w - 1) * -0.5], axis=1
+    )
+    dst[:, 0] = [(dst_w - 1) * 0.5, (dst_h - 1) * 0.5]
+    dst[:, 1] = dst[:, 0] + np.array([0.0, (dst_w - 1) * -0.5], np.float32)
+    # third point: rotate (p0 - p1) by 90deg around p1
+    for pts in (src, dst):
+        d = pts[:, 0] - pts[:, 1]
+        pts[:, 2, 0] = pts[:, 1, 0] - d[:, 1]
+        pts[:, 2, 1] = pts[:, 1, 1] + d[:, 0]
+
+    if inv:
+        src, dst = dst, src
+    ones = np.ones((n, 3, 1), dtype=np.float64)
+    lhs = np.concatenate([src.astype(np.float64), ones], axis=2)  # (N,3,3)
+    sol = np.linalg.solve(lhs, dst.astype(np.float64))  # (N,3,2)
+    return np.transpose(sol, (0, 2, 1))  # (N,2,3)
+
+
+def affine_transform_batch(points: np.ndarray, trans: np.ndarray) -> np.ndarray:
+    """Apply per-item 2x3 affines: (N, ..., 2) @ (N, 2, 3)."""
+    pts = np.asarray(points, dtype=np.float64)
+    lin = np.einsum("n...j,nij->n...i", pts, trans[:, :, :2])
+    offs = trans[:, :, 2].reshape((len(trans),) + (1,) * (pts.ndim - 2) + (2,))
+    return lin + offs
+
+
 def bbox_center_scale(box, aspect_ratio: float, pixel_std: float = 200.0):
     """(x1,y1,x2,y2) -> (center, scale) with aspect-ratio padding.
 

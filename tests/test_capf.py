@@ -29,6 +29,7 @@ def test_crop_coord_normalization_matches_reference():
     )
 
 
+@pytest.mark.slow
 def test_composite_forward_and_frozen_backbone():
     cfg = small_model_cfg()
     model = ContextAwarePoseFormer(cfg=cfg)
@@ -67,6 +68,7 @@ def test_composite_bf16_backbone():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_cpn_composite_through_eval_step():
     """CPN preset wiring through the compiled eval step (small input)."""
     import dataclasses
@@ -101,6 +103,7 @@ def test_cpn_composite_through_eval_step():
     assert np.isfinite(np.asarray(pred)).all()
 
 
+@pytest.mark.slow
 def test_composite_bf16_deploy_path():
     """Full deployment numerics (bf16 backbone + bf16 lifter stream) stays
     close to the fp32 parity path on the same params; output is fp32 (head

@@ -55,6 +55,7 @@ def _torch_sd_from_flax(params, depth, levels, use_deformable):
     return sd
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("use_deformable", [True, False])
 def test_convert_lifter_roundtrip(use_deformable):
     cfg = LifterConfig(embed_dim_ratio=32, depth=2, levels=4,

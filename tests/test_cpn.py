@@ -34,6 +34,7 @@ def test_bilinear_align_corners_matches_torch():
         )
 
 
+@pytest.mark.slow
 def test_cpn_matches_torch_oracle_via_converter():
     model = CPN(cfg=cpn_backbone())
     rng = np.random.RandomState(0)
@@ -72,6 +73,7 @@ def test_cpn_resnet_param_count():
     assert 25e6 < n < 32e6, n
 
 
+@pytest.mark.slow
 def test_cpn_serve_prepare_with_no_static_convs():
     """CPN under quantize='serve' has only dynamic-quant wide convs — no
     calibration variables exist. prepare_serving must handle the empty

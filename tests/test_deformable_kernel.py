@@ -92,6 +92,7 @@ def test_fused_two_stage_path_matches_gather(mode):
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mode", ["zeros", "border"])
 def test_multi_level_fused_matches_per_level(mode):
     """sample_points_levels (one kernel launch for all pyramid levels) must
@@ -131,6 +132,7 @@ def test_multi_level_fused_matches_per_level(mode):
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_deformable_aggregate_matches_reference():
     """deformable_aggregate (fused sampling + per-level projection + weighted
     sample pooling) matches its jnp reference composition, forward and

@@ -7,6 +7,9 @@ import numpy as np
 import pytest
 
 
+pytestmark = pytest.mark.slow
+
+
 def test_smoke_train_resume_eval(tmp_path):
     from contextaware_poseformer_tpu.train import train_h36m
 

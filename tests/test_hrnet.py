@@ -101,6 +101,7 @@ def test_converter_rejects_shape_mismatch_and_leftovers():
     convert_conv_backbone(extra2, shapes)  # no raise
 
 
+@pytest.mark.slow
 def test_quantize_c128_close_and_narrow_untouched():
     """quantize='c128' switches only convs with both channel counts >= 128
     to int8; on a width-8 tiny config NO conv qualifies, so outputs are
@@ -142,6 +143,7 @@ def test_quantize_c128_close_and_narrow_untouched():
     assert changed  # the int8 path actually ran
 
 
+@pytest.mark.slow
 def test_quantize_static_calibration_flow():
     """quantize='static': init-with-zeros leaves calib unpopulated (and
     check_calibrated raises); a calibration pass is float-exact and records
@@ -205,6 +207,7 @@ def test_quantize_static_calibration_flow():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_quantize_serve_end_to_end_int8_layer1():
     """quantize='serve' = c128 dynamic int8 for wide convs + END-TO-END int8
     layer1 with static calibrated scales (HRNet._layer1_int8). Checks: param

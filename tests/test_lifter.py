@@ -107,6 +107,7 @@ def test_lifter_train_mode_stochastic():
     np.testing.assert_array_equal(np.asarray(out3), np.asarray(out4))
 
 
+@pytest.mark.slow
 def test_lifter_jit_and_grad():
     cfg = LifterConfig(embed_dim_ratio=32, depth=2, levels=4)
     dims = (8, 16, 24, 40)

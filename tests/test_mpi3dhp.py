@@ -80,6 +80,7 @@ def test_export_inference_mat_roundtrip(tmp_path):
     np.testing.assert_allclose(m["TS1"][:, :, 0, 2], pred[2].T, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_3dhp_driver_smoke(tmp_path):
     from contextaware_poseformer_tpu.train import train_3dhp
 
@@ -91,6 +92,7 @@ def test_3dhp_driver_smoke(tmp_path):
     assert np.isfinite(best)
 
 
+@pytest.mark.slow
 def test_3dhp_deploy_preset_eval(tmp_path):
     """--eval with the *_deploy preset (quantize="serve"): Trainer3dhp's
     evaluate calibrates lazily via _ensure_serving_ready (regression: it

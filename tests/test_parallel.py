@@ -52,6 +52,7 @@ def make_raw_batch(rng, b, hw=(64, 64)):
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("model_parallel", [1, 2])
 def test_sharded_train_step_runs_and_learns(model_parallel):
     assert len(jax.devices()) == 8
@@ -90,6 +91,7 @@ def test_sharded_train_step_runs_and_learns(model_parallel):
     assert int(state.step) == 5
 
 
+@pytest.mark.slow
 def test_frozen_backbone_unchanged_by_adamw():
     cfg = small_cfg(batch_size=4)
     model = ContextAwarePoseFormer(cfg=cfg.model)
@@ -193,6 +195,7 @@ def test_folded_flip_test_equals_two_pass():
     )
 
 
+@pytest.mark.slow
 def test_erase_aug_train_step():
     import dataclasses
 

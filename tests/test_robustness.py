@@ -15,6 +15,7 @@ from contextaware_poseformer_tpu.train.checkpoint import CheckpointManager
 from test_parallel import make_raw_batch, small_cfg
 
 
+@pytest.mark.slow
 def test_nan_guard_skips_update():
     """A NaN batch must not poison the parameters (train.py:194 analog)."""
     cfg = small_cfg(batch_size=4)

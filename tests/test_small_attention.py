@@ -51,6 +51,7 @@ def test_grad_matches_reference():
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_lifter_fused_attention_param_tree_and_output():
     """cfg.attention='fused' must keep the EXACT param tree of the einsum
     path (checkpoint compatibility) and match its outputs."""

@@ -1,5 +1,6 @@
 import numpy as np
 import jax
+import pytest
 
 from contextaware_poseformer_tpu.config import ModelConfig, LifterConfig
 from contextaware_poseformer_tpu.models import ContextAwarePoseFormer
@@ -27,6 +28,7 @@ def _setup():
     return cfg, params
 
 
+@pytest.mark.slow
 def test_lift_batch_with_padding():
     cfg, params = _setup()
     sl = StreamingLifter(cfg, params,
@@ -71,6 +73,7 @@ def test_stream_multi_camera_ema():
         assert pose.shape == (17, 3) and np.isfinite(pose).all()
 
 
+@pytest.mark.slow
 def test_streaming_serve_mode_requires_and_uses_prepare():
     """quantize='serve' streaming: lift_batch refuses before prepare(); after
     prepare() (calibration + weight pre-quantization on real frames) the

@@ -92,6 +92,10 @@ def main(argv=None):
     p.add_argument("--component", default="lifter",
                    choices=["lifter", "backbone", "composite"])
     p.add_argument("--batch", type=int, default=3)
+    p.add_argument("--roundtrip", action="store_true",
+                   help="composite only: save a DDP-prefixed best_epoch.bin "
+                        "and ingest it through the production --model-ckpt "
+                        "path (load_torch_state_dict + convert_composite)")
     args = p.parse_args(argv)
 
     if args.component == "backbone":
@@ -105,7 +109,8 @@ def main(argv=None):
         if not os.path.isdir(REFERENCE_ROOT):
             print("SKIP: /root/reference not present")
             return 0
-        return check_composite(args.backbone, args.batch)
+        return check_composite(args.backbone, args.batch,
+                               roundtrip=args.roundtrip)
 
     if not os.path.isdir(REFERENCE_ROOT):
         print("SKIP: /root/reference not present")
@@ -286,7 +291,8 @@ class _AD(dict):
     __getattr__ = dict.__getitem__
 
 
-def check_composite(backbone: str = "hrnet_32", batch: int = 2) -> int:
+def check_composite(backbone: str = "hrnet_32", batch: int = 2,
+                    roundtrip: bool = False) -> int:
     import numpy as np
     import torch
 
@@ -347,7 +353,39 @@ def check_composite(backbone: str = "hrnet_32", batch: int = 2) -> int:
             torch.from_numpy(kpc.copy()),  # CA_PF mutates this in place
         ).reshape(batch, 17, 3).numpy()
 
-    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    if roundtrip:
+        # FULL production ingest rehearsal (train.py:307-314 analog): save
+        # the reference module's state dict at production size with DDP
+        # "module." prefixes inside a {epoch, lr, model, optimizer} dict —
+        # the exact on-disk format of best_epoch_{backbone}.bin — then load
+        # it back through the production --model-ckpt code path
+        # (models/convert.load_torch_state_dict: weights_only load, "model"
+        # unwrap, module-prefix strip).
+        import tempfile
+
+        from contextaware_poseformer_tpu.models.convert import (
+            load_torch_state_dict,
+        )
+
+        with tempfile.TemporaryDirectory() as td:
+            ckpt_path = os.path.join(td, "best_epoch.bin")
+            torch.save(
+                {
+                    "epoch": 3,
+                    "lr": 1e-4,
+                    "model": {
+                        f"module.{k}": v
+                        for k, v in ref_model.state_dict().items()
+                    },
+                    "optimizer": {},
+                },
+                ckpt_path,
+            )
+            sd = load_torch_state_dict(ckpt_path)
+        n_keys = len(sd)
+        print(f"roundtrip ingest: {n_keys} keys from {backbone} best_epoch.bin")
+    else:
+        sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
     ours = ContextAwarePoseFormer(cfg=ours_cfg.model)
     shapes = jax.eval_shape(
         ours.init, jax.random.PRNGKey(0),
