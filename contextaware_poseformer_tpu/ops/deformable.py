@@ -95,7 +95,11 @@ def _sample_body(pts, f2d, *, h, w, c, border, align_corners, precision,
         rowv = jnp.where(h_idx == y0i, 1.0 - wy, 0.0) + jnp.where(
             h_idx == y0i + 1, wy, 0.0
         )  # (P, H)
-        # expanded column mix: colv_exp[p, w*C + c] = colv[p, w]
+        # expanded column mix: colv_exp[p, w*C + c] = colv[p, w]. Built
+        # DIRECTLY on the VPU: a small (P, W) build expanded through a
+        # one-hot MXU matmul was measured WORSE (333 -> 469 us/call at the
+        # flagship shapes — little-matmul pipeline fills beat the VPU
+        # compare/select traffic; see PERF.md round-2 negative results).
         w_exp = jax.lax.broadcasted_iota(jnp.int32, (p, w * c), 1) // c
         colv_exp = jnp.where(w_exp == x0i, 1.0 - wx, 0.0) + jnp.where(
             w_exp == x0i + 1, wx, 0.0
