@@ -136,6 +136,12 @@ class LifterConfig:
     # dim 640) always use einsum: the pairwise fused form scales O(N^2)
     # in instructions and loses there.
     attention: str = "einsum"
+    # block MLP implementation: "einsum" (XLA LayerNorm + Mlp, parity
+    # default) or "fused" (single Pallas LN+MLP+residual kernel,
+    # ops/fused_mlp.py — no HBM round trip between fc1/fc2, LN statistics
+    # on the VPU). Applies to context/res/joint blocks; inference-oriented
+    # (needs inactive dropout/drop-path).
+    mlp: str = "einsum"
 
     @property
     def embed_dim(self) -> int:
@@ -308,6 +314,7 @@ def deploy(cfg: Config) -> Config:
                 compute_dtype="bfloat16",
                 sampler_precision="default",
                 attention="fused",
+                mlp="fused",
             ),
         ),
     )

@@ -98,8 +98,40 @@ def gelu(x):
     return jax.nn.gelu(x, approximate=False)
 
 
+class _LayerNormParams(nn.Module):
+    """nn.LayerNorm-compatible params (same names/shapes/init) without
+    applying — for fused kernels that compute the normalization in-kernel
+    while staying checkpoint-compatible."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones, (self.dim,)),
+            self.param("bias", nn.initializers.zeros, (self.dim,)),
+        )
+
+
+def apply_ln_mlp_residual(x, ls, lb, k1, b1, k2, b2, ln_eps, dtype):
+    """x + fc2(gelu(fc1(LN(x)))) through the fused Pallas kernel
+    (ops/fused_mlp); parameter arrays come from the params_only modes of
+    LayerNorm/Mlp so the tree matches the einsum path exactly."""
+    from contextaware_poseformer_tpu.ops.fused_mlp import ln_mlp_residual
+
+    precision = "default" if dtype == jnp.bfloat16 else "highest"
+    return ln_mlp_residual(
+        x, ls, lb, k1, b1, k2, b2, ln_eps, precision,
+        jax.default_backend() != "tpu",
+    )
+
+
 class Mlp(nn.Module):
-    """fc1 -> GELU -> drop -> fc2 -> drop (pose_dformer.py:15-31)."""
+    """fc1 -> GELU -> drop -> fc2 -> drop (pose_dformer.py:15-31).
+
+    `params_only=True` returns (k1, b1, k2, b2) with the identical param
+    tree (fc1/fc2 Linears) for fused-kernel callers.
+    """
 
     hidden_features: int
     out_features: int
@@ -107,7 +139,16 @@ class Mlp(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True,
+                 params_only: bool = False):
+        if params_only:
+            k1, b1 = Linear(self.hidden_features, dtype=self.dtype,
+                            name="fc1")(x, params_only=True)
+            k2, b2 = Linear(self.out_features, dtype=self.dtype, name="fc2")(
+                jnp.zeros((1, self.hidden_features), jnp.float32),
+                params_only=True,
+            )
+            return k1, b1, k2, b2
         x = Linear(self.hidden_features, dtype=self.dtype, name="fc1")(x)
         x = gelu(x)
         x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
@@ -213,6 +254,10 @@ class Block(nn.Module):
     dtype: Any = None
     ln_dtype: Any = jnp.float32
     attn_impl: str = "einsum"
+    # "einsum" (XLA LN + Mlp, the parity default) or "fused" (single-kernel
+    # LN+MLP+residual, ops/fused_mlp.py; identical param tree). The fused
+    # path needs inactive dropout/drop-path — inference, or all rates 0.
+    mlp_impl: str = "einsum"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -231,11 +276,24 @@ class Block(nn.Module):
         )(h, deterministic)
         x = x + DropPath(self.drop_path, name="drop_path1")(h, deterministic)
 
+        hidden = int(dim * self.mlp_ratio)
+        use_fused_mlp = self.mlp_impl == "fused" and (
+            deterministic or (self.drop_rate == 0.0 and self.drop_path == 0.0)
+        )
+        if use_fused_mlp:
+            # drop_path2 keeps its (empty) spot in the tree via rate-0 usage
+            ls, lb = _LayerNormParams(dim, name="norm2")()
+            k1, b1, k2, b2 = Mlp(
+                hidden, dim, self.drop_rate, dtype=self.dtype, name="mlp"
+            )(x, params_only=True)
+            return apply_ln_mlp_residual(
+                x, ls, lb, k1, b1, k2, b2, self.ln_eps, self.dtype
+            )
+
         h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.ln_dtype,
                          name="norm2")(x)
         h = Mlp(
-            int(dim * self.mlp_ratio), dim, self.drop_rate, dtype=self.dtype,
-            name="mlp",
+            hidden, dim, self.drop_rate, dtype=self.dtype, name="mlp",
         )(h, deterministic)
         x = x + DropPath(self.drop_path, name="drop_path2")(h, deterministic)
         return x

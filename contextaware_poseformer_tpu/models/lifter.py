@@ -79,6 +79,7 @@ class DeformableBlock(nn.Module):
     sampler_precision: str = "highest"
     dtype: Any = None
     ln_dtype: Any = jnp.float32
+    mlp_impl: str = "einsum"  # see layers.Block
 
     @nn.compact
     def __call__(
@@ -147,10 +148,27 @@ class DeformableBlock(nn.Module):
         x = residual + DropPath(self.drop_path, name="drop_path1")(
             pooled, deterministic
         )
-        h = nn.LayerNorm(epsilon=1e-5, dtype=self.ln_dtype, name="norm2")(x)
-        h = Mlp(int(dim * self.mlp_ratio), dim, 0.0, dtype=self.dtype,
-                name="mlp")(h, deterministic)
-        x = x + DropPath(self.drop_path, name="drop_path2")(h, deterministic)
+        hidden = int(dim * self.mlp_ratio)
+        if self.mlp_impl == "fused" and (deterministic or self.drop_path == 0.0):
+            from contextaware_poseformer_tpu.models.layers import (
+                _LayerNormParams,
+                apply_ln_mlp_residual,
+            )
+
+            ls, lb = _LayerNormParams(dim, name="norm2")()
+            k1, b1, k2, b2 = Mlp(hidden, dim, 0.0, dtype=self.dtype,
+                                 name="mlp")(x, params_only=True)
+            x = apply_ln_mlp_residual(
+                x, ls, lb, k1, b1, k2, b2, 1e-5, self.dtype
+            )
+        else:
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.ln_dtype,
+                             name="norm2")(x)
+            h = Mlp(hidden, dim, 0.0, dtype=self.dtype,
+                    name="mlp")(h, deterministic)
+            x = x + DropPath(self.drop_path, name="drop_path2")(
+                h, deterministic
+            )
 
         return jnp.concatenate([x0, x], axis=1)
 
@@ -218,6 +236,7 @@ class PoseLifter(nn.Module):
                     sampler_precision=cfg.sampler_precision,
                     dtype=dtype,
                     ln_dtype=ln_dtype,
+                    mlp_impl=cfg.mlp,
                     name=f"context_block_{i}",
                 )(tokens, ref, features, deterministic)
 
@@ -234,6 +253,7 @@ class PoseLifter(nn.Module):
                 dtype=dtype,
                 ln_dtype=ln_dtype,
                 attn_impl=cfg.attention,
+                mlp_impl=cfg.mlp,
                 name=f"res_block_{i}",
             )(t, deterministic)
 
@@ -250,6 +270,7 @@ class PoseLifter(nn.Module):
                 drop_path=dpr[i],
                 dtype=dtype,
                 ln_dtype=ln_dtype,
+                mlp_impl=cfg.mlp,
                 name=f"joint_block_{i}",
             )(t, deterministic)
 
