@@ -57,6 +57,14 @@ class BackboneConfig:
     # spends its 255 steps on the bulk of the distribution. Only read during
     # calibrate_quantization passes; the inference graph is unchanged.
     calib_quantile: float = 1.0
+    # layer1 implementation under quantize="serve": "xla" = the e2e-int8
+    # XLA graph; "pallas" = the fused 4-block VMEM-resident chain kernel
+    # (ops/layer1_chain.py) — same quantized arithmetic, HBM touched only
+    # at the chain ends. Ignored unless quantize == "serve". Measured
+    # SLOWER than "xla" on v5e (PERF.md round-2 session 3: the int8
+    # matmul floor at these K=64/N=64 shapes is 2.35 ms vs XLA's 2.25 ms
+    # full chain) — kept as an opt-in negative-result artifact.
+    layer1_impl: str = "xla"
     stage2: HRNetStageConfig = HRNetStageConfig(1, 2, (4, 4), (32, 64))
     stage3: HRNetStageConfig = HRNetStageConfig(4, 3, (4, 4, 4), (32, 64, 128))
     stage4: HRNetStageConfig = HRNetStageConfig(

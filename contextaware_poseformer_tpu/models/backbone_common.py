@@ -88,15 +88,22 @@ class ConvBN(nn.Module):
     calib_quantile: float = 1.0  # see observed_amax
 
     @nn.compact
-    def __call__(self, x, x_quant=None) -> jax.Array:
+    def __call__(self, x, x_quant=None, packed=False):
         """x: float NHWC input, or None when `x_quant` is given.
 
         `x_quant=(xq_int8, amax)` feeds an already-quantized tensor with its
         per-tensor max|value| scale (the end-to-end int8 layer1 flow,
         HRNet._layer1_int8): the conv runs int8 with the caller's scale and
         returns the usual float output — no internal quantize pass.
+
+        `packed=True` (x is the input CHANNEL COUNT, an int) skips the conv
+        and returns `(kernel_q, wscale, scale, bias)` — the raw pieces the
+        fused Pallas layer1 chain (ops/layer1_chain.py) assembles itself.
+        Participates in the same "qweights" store/populate protocol.
         """
-        in_ch = (x if x_quant is None else x_quant[0]).shape[-1]
+        in_ch = (
+            x if packed else (x if x_quant is None else x_quant[0]).shape[-1]
+        )
         ks = self.kernel_size
         kernel = self.param(
             "kernel",
@@ -125,7 +132,7 @@ class ConvBN(nn.Module):
                     amax_v.value, observed_amax(x, self.calib_quantile)
                 )
                 static_int8 = False
-        if dyn_int8 or static_int8 or x_quant is not None:
+        if packed or dyn_int8 or static_int8 or x_quant is not None:
             # Weight quantization. Computing round(k / wscale) per call costs
             # a small reduce+round op PER CONV PER STEP — ~220 extra op
             # dispatches under "static" on HRNet-32, measured ~+1.1 ms/step,
@@ -157,6 +164,8 @@ class ConvBN(nn.Module):
                 k32 = kernel.astype(jnp.float32)
                 wscale = jnp.max(jnp.abs(k32), axis=(0, 1, 2)) / 127.0
                 kq = jnp.round(k32 / wscale).astype(jnp.int8)
+            if packed:
+                return kq, wscale, scale, bias
             if x_quant is not None:
                 xq, xq_amax = x_quant
                 amax = jnp.maximum(

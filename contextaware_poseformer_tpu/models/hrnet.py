@@ -131,6 +131,9 @@ class HRNet(nn.Module):
                 observe(tvars[f"{n}.out"], x)
             return x
 
+        if self.cfg.layer1_impl == "pallas":
+            return self._layer1_pallas(x, in_v, tvars, names)
+
         def quant(t, amax):
             return jnp.clip(
                 jnp.round(t.astype(jnp.float32) * (127.0 / amax)), -127, 127
@@ -156,6 +159,72 @@ class HRNet(nn.Module):
             amax = jnp.maximum(tvars[f"{n}.out"].value, 1e-12)
             xq = quant(o, amax)
         return xq, amax
+
+    def _layer1_pallas(self, x, in_v, tvars, names):
+        """Fused 4-block VMEM-resident chain (ops/layer1_chain.py).
+
+        Same quantized arithmetic as the XLA path below — the int8 kernels,
+        folded affines (eff_scale = scale*wscale*amax/127, bias) and static
+        requant scales are assembled here from the SAME ConvBN params/calib
+        variables (ConvBN packed=True protocol) and handed to one Pallas
+        launch, so HBM sees only the bf16 stem input and the int8 output.
+        Epilogues are bf16 to match ConvBN's eff_scale cast; requires the
+        backbone dtype to be bfloat16 (the deploy preset's setting).
+        """
+        assert self.dtype == jnp.bfloat16, (
+            "layer1_impl='pallas' hardcodes the XLA path's bf16 epilogue "
+            f"arithmetic; backbone dtype is {self.dtype}"
+        )
+        from contextaware_poseformer_tpu.ops.layer1_chain import layer1_chain
+
+        def pieces(name, feat, ks, cin, relu):
+            return self._conv(name, feat, ks, 1, relu=relu)(cin, packed=True)
+
+        a1 = [jnp.maximum(tvars[f"{n}.t1"].value, 1e-12) for n in names]
+        a2 = [jnp.maximum(tvars[f"{n}.t2"].value, 1e-12) for n in names]
+        ao = [jnp.maximum(tvars[f"{n}.out"].value, 1e-12) for n in names]
+        # per-block input amax: stem in, then each block's predecessor out
+        ain = [jnp.maximum(in_v.value, 1e-12)] + ao[:3]
+
+        bf16 = jnp.bfloat16
+        w1, w2, w3 = [], [], []
+        aff = {k: [] for k in ("s1", "b1", "s2", "b2", "s3", "b3")}
+        for i, n in enumerate(names):
+            kq, ws, sc, bi = pieces(
+                f"{n}.conv1", 64, 1, 64 if i == 0 else 256, True
+            )
+            w1.append(kq[0, 0])
+            aff["s1"].append((sc * ws * (ain[i] / 127.0)).astype(bf16))
+            aff["b1"].append(bi.astype(bf16))
+            kq, ws, sc, bi = pieces(f"{n}.conv2", 64, 3, 64, True)
+            # HWIO (3,3,64,64) -> per-dy band (dx-major, channel-minor rows)
+            w2.append(kq.reshape(3, 192, 64))
+            aff["s2"].append((sc * ws * (a1[i] / 127.0)).astype(bf16))
+            aff["b2"].append(bi.astype(bf16))
+            kq, ws, sc, bi = pieces(f"{n}.conv3", 256, 1, 64, False)
+            w3.append(kq[0, 0])
+            aff["s3"].append((sc * ws * (a2[i] / 127.0)).astype(bf16))
+            aff["b3"].append(bi.astype(bf16))
+        kq, ws, sc, bi = pieces("layer1.0.downsample.0", 256, 1, 64, False)
+        pack = {
+            "w1_0": w1[0],
+            "w1_r": jnp.stack(w1[1:]),
+            "w2": jnp.stack(w2),
+            "w3": jnp.stack(w3),
+            "wds": kq[0, 0],
+            "sds": (sc * ws * (ain[0] / 127.0)).astype(bf16)[None, None],
+            "bds": bi.astype(bf16)[None, None],
+            "sca": jnp.stack(
+                [127.0 / ain[0]]
+                + [127.0 / a for a in a1]
+                + [127.0 / a for a in a2]
+                + [127.0 / a for a in ao]
+                + [a / 127.0 for a in ain]
+            ).astype(jnp.float32),
+        }
+        for k, rows in aff.items():
+            pack[k] = jnp.stack(rows)[:, None, :]
+        return layer1_chain(x, pack), ao[3]
 
     def _hr_module(
         self,

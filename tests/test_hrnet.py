@@ -262,3 +262,44 @@ def test_quantize_serve_end_to_end_int8_layer1():
     out2 = bbs.apply(stored, x)
     for a, b in zip(out, out2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_layer1_pallas_chain_matches_xla_serve():
+    """layer1_impl='pallas' (ops/layer1_chain.py, interpret on CPU) must
+    bit-match the XLA e2e-int8 layer1 graph through the REAL serve model:
+    same calib variables, same pre-quantized weights, identical outputs.
+    (On real TPU the kernel is an opt-in negative-result artifact — the
+    int32->bf16 epilogue double-rounds differently in Mosaic and the int8
+    matmul floor loses to XLA; PERF.md round-2 session 3.)"""
+    import dataclasses
+
+    from contextaware_poseformer_tpu.config import hrnet_backbone
+    from contextaware_poseformer_tpu.models.backbone_common import (
+        calibrate_quantization,
+        prepare_int8_weights,
+    )
+
+    cfg = dataclasses.replace(hrnet_backbone(32), quantize="serve")
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    bb_x = HRNet(cfg=cfg, dtype=jnp.bfloat16)
+    vs = bb_x.init(jax.random.PRNGKey(0), x)
+    apply = lambda v, b, **kw: bb_x.apply(v, b, **kw)
+    vs = calibrate_quantization(apply, vs, [x])
+    out_x = bb_x.apply(vs, x)
+
+    bb_p = HRNet(
+        cfg=dataclasses.replace(cfg, layer1_impl="pallas"),
+        dtype=jnp.bfloat16,
+    )
+    out_p = bb_p.apply(vs, x)
+    for a, b in zip(out_x, out_p):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    stored = prepare_int8_weights(apply, vs, x)
+    out_p2 = bb_p.apply(stored, x)
+    for a, b in zip(out_x, out_p2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
