@@ -27,7 +27,7 @@ sys.path.insert(0, "/root/repo")
 import numpy as np
 
 FIXTURE = "/tmp/capf_jpeg_fixture"
-N_FULL, FULL_HW = 256, (1000, 1000)
+N_FULL, FULL_HW = 1024, (1000, 1000)
 N_CROP, CROP_HW = 2048, (256, 192)
 BATCH = 512
 DEVICE_STEP_MS = 61.0  # reference-equivalent device step at batch 512
