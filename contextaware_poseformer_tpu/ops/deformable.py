@@ -69,15 +69,27 @@ def _sample_body(pts, f2d, *, h, w, c, border, align_corners, precision,
     with the gather formulation); "default" = single bf16 pass with fp32
     accumulation (~2^-8 weight rounding, the bf16-backbone deploy mode).
     """
-    p = pts.shape[0]
+    return _sample_body_xy(
+        pts[:, 0], pts[:, 1], f2d, h=h, w=w, c=c, border=border,
+        align_corners=align_corners, precision=precision,
+        two_stage=two_stage, out_dtype=out_dtype,
+    )
+
+
+def _sample_body_xy(xn, yn, f2d, *, h, w, c, border, align_corners,
+                    precision, two_stage, out_dtype):
+    """_sample_body on separate normalized-coordinate vectors xn/yn (P,) —
+    lets callers with a packed lane layout unpack in-kernel and skip the
+    (P, 2) points relayout entirely."""
+    p = xn.shape[0]
 
     def unnormalize(coord, size):
         if align_corners:
             return (coord + 1.0) * 0.5 * (size - 1)
         return ((coord + 1.0) * size - 1.0) * 0.5
 
-    x = unnormalize(pts[:, 0], w)
-    y = unnormalize(pts[:, 1], h)
+    x = unnormalize(xn, w)
+    y = unnormalize(yn, h)
     if border:
         x = jnp.clip(x, 0.0, w - 1)
         y = jnp.clip(y, 0.0, h - 1)
@@ -654,6 +666,37 @@ def deformable_aggregate(
     raise ValueError(impl)
 
 
+# Scoped VMEM is 16 MB; Mosaic's live ranges run slightly above the obvious
+# tensor sizes, so group against a conservative budget. 13 MB keeps the
+# flagship HRNet-32 (est. ~7.3 MB) and HRNet-48 (~9.4 MB) in ONE launch and
+# splits CPN's all-256-channel pyramid (est. ~15.5 MB, measured 16.28 MB
+# scoped OOM as a single call) into [level0][levels1-3].
+_VMEM_GROUP_BUDGET = 13 * 2**20
+
+
+def _vmem_level_groups(shapes, p_pad: int, feat_bytes: int) -> list:
+    """Greedy contiguous grouping of levels so each fused launch's estimated
+    per-program VMEM stays under budget. Estimate mirrors _sample_body's
+    live tensors (f32 mixing matrices dominate); a level that alone exceeds
+    the budget is emitted alone and left to the real 16 MB limit."""
+    est = []
+    for (h, w, c) in shapes:
+        e = h * w * c * feat_bytes + p_pad * c * feat_bytes  # feature + out
+        if _use_two_stage(h, w, c):
+            e += p_pad * h * 4 + 2 * p_pad * w * c * 4 + w * c * c * 4
+        else:
+            e += 3 * p_pad * h * w * 4  # rowv, colv, m
+        est.append(e)
+    groups, start, acc = [], 0, 0
+    for l, e in enumerate(est):
+        if l > start and acc + e > _VMEM_GROUP_BUDGET:
+            groups.append((start, l))
+            start, acc = l, 0
+        acc += e
+    groups.append((start, len(est)))
+    return groups
+
+
 def sample_points_levels(
     features,
     points: jax.Array,  # (b, L, ..., 2)
@@ -662,8 +705,9 @@ def sample_points_levels(
     impl: str = "auto",
     precision: str = "highest",
 ) -> tuple:
-    """Level-set dispatcher: one fused kernel launch on TPU, per-level jnp
-    gathers elsewhere (same dispatch contract as sample_points)."""
+    """Level-set dispatcher: one fused kernel launch on TPU (split into the
+    fewest VMEM-feasible launches), per-level jnp gathers elsewhere (same
+    dispatch contract as sample_points)."""
     if impl == "auto":
         impl = "fused" if jax.default_backend() == "tpu" else "gather"
     if impl == "gather":
@@ -675,8 +719,19 @@ def sample_points_levels(
             for l, f in enumerate(features)
         )
     if impl in ("fused", "fused_interpret"):
-        return sample_points_multi(
-            tuple(features), points, padding_mode, align_corners,
-            impl == "fused_interpret", precision,
+        p = 1
+        for s in points.shape[2:-1]:
+            p *= s
+        p_pad = _round_up(max(p, 8), 8)
+        groups = _vmem_level_groups(
+            tuple(f.shape[1:] for f in features), p_pad,
+            jnp.dtype(features[0].dtype).itemsize,
         )
+        outs = []
+        for lo, hi in groups:
+            outs.extend(sample_points_multi(
+                tuple(features[lo:hi]), points[:, lo:hi], padding_mode,
+                align_corners, impl == "fused_interpret", precision,
+            ))
+        return tuple(outs)
     raise ValueError(impl)

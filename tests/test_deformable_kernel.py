@@ -193,3 +193,48 @@ def test_deformable_aggregate_matches_reference():
     for a, bb in zip(gg, gf):
         s = float(jnp.sqrt(jnp.mean(jnp.asarray(a) ** 2))) + 1e-12
         assert float(jnp.max(jnp.abs(a - bb))) / s < 1e-4
+
+
+def test_vmem_level_groups_presets():
+    """Grouping must split CPN's all-256-channel pyramid (measured 16.28 MB
+    scoped-VMEM OOM as one launch) while keeping both HRNet pyramids and the
+    ref-point call in a single launch."""
+    from contextaware_poseformer_tpu.ops.deformable import _vmem_level_groups
+
+    hr32 = ((64, 48, 32), (32, 24, 64), (16, 12, 128), (8, 6, 256))
+    hr48 = ((64, 48, 48), (32, 24, 96), (16, 12, 192), (8, 6, 384))
+    cpn = ((64, 48, 256), (32, 24, 256), (16, 12, 256), (8, 6, 256))
+    assert _vmem_level_groups(hr32, 272, 2) == [(0, 4)]
+    assert _vmem_level_groups(hr48, 272, 2) == [(0, 4)]
+    assert _vmem_level_groups(cpn, 272, 2) == [(0, 1), (1, 4)]
+    assert _vmem_level_groups(cpn, 24, 2) == [(0, 4)]  # ref points
+
+
+def test_split_groups_match_single_launch():
+    """Forcing one level per launch must be bit-identical to the single
+    fused launch, and the custom-vjp backward must survive the split."""
+    from contextaware_poseformer_tpu.ops import deformable as D
+
+    rng = np.random.RandomState(0)
+    shapes = ((16, 12, 8), (8, 6, 16), (4, 4, 32))
+    feats = tuple(
+        jnp.asarray(rng.randn(2, h, w, c).astype(np.float32))
+        for h, w, c in shapes
+    )
+    pts = jnp.asarray(rng.uniform(-1, 1, (2, 3, 17, 16, 2)).astype(np.float32))
+    kw = dict(padding_mode="border", impl="fused_interpret")
+    single = D.sample_points_levels(feats, pts, **kw)
+    budget = D._VMEM_GROUP_BUDGET
+    try:
+        D._VMEM_GROUP_BUDGET = 1
+        split = D.sample_points_levels(feats, pts, **kw)
+        g = jax.grad(
+            lambda p: sum(
+                jnp.sum(o) for o in D.sample_points_levels(feats, p, **kw)
+            )
+        )(pts)
+    finally:
+        D._VMEM_GROUP_BUDGET = budget
+    for a, b in zip(single, split):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert g.shape == pts.shape and float(jnp.abs(g).sum()) > 0

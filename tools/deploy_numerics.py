@@ -118,17 +118,17 @@ def trained_ab(steps_n: int = 250):
         state, aux = train_step(state, batch_of(train_ds, idx), key)
     print(f"trained {steps_n} steps, final loss {float(aux['loss']):.4f}")
 
-    def eval_p1(model_cfg):
+    def eval_p1(model_cfg, calib_n: int = 64):
         from contextaware_poseformer_tpu.data import augment
         from contextaware_poseformer_tpu.models import prepare_serving
 
         m = ContextAwarePoseFormer(cfg=model_cfg)
-        # serve-mode calibration on a couple of val batches (normalized the
-        # same way the eval step normalizes)
+        # serve-mode calibration on >= 64 val samples (normalized the same
+        # way the eval step normalizes) — VERDICT round-1 item 6
         extra = None
         if model_cfg.backbone.quantize != "none":
             batches = []
-            for s in (0, 16):
+            for s in range(0, calib_n, 16):
                 b = batch_of(val_ds, np.arange(s, s + 16))
                 batches.append((
                     augment.normalize_images(
@@ -152,9 +152,19 @@ def trained_ab(steps_n: int = 250):
         return float(np.concatenate(errs).mean() * 1000)
 
     p1 = eval_p1(cfg.model)
-    p1d = eval_p1(cfglib.deploy(cfg).model)
+    dep = cfglib.deploy(cfg).model
+    p1d = eval_p1(dep)
     print(f"trained P1: fp32 {p1:.3f} mm | deploy {p1d:.3f} mm | "
           f"delta {p1d - p1:+.3f} mm")
+    # calibration-quality sweep (PERF.md serve-calibration lever): histogram
+    # percentile amax vs max, all at 64 calibration samples
+    for q in (0.9999, 0.999):
+        mq = dataclasses.replace(
+            dep, backbone=dataclasses.replace(dep.backbone, calib_quantile=q)
+        )
+        p1q = eval_p1(mq)
+        print(f"trained P1: deploy q={q} {p1q:.3f} mm | "
+              f"delta vs fp32 {p1q - p1:+.3f} mm")
 
 
 def main():
