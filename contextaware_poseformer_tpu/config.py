@@ -316,7 +316,13 @@ def deploy(cfg: Config) -> Config:
         model=replace(
             cfg.model,
             compute_dtype="bfloat16",
-            backbone=replace(cfg.model.backbone, quantize="serve"),
+            # calib_quantile=0.999: histogram-percentile amax recovers ~90%
+            # of the e2e-int8 accuracy delta vs max-amax calibration
+            # (trained P1 +0.354 -> +0.036 mm at 64 calibration samples;
+            # tools/deploy_numerics.py, PERF.md round-2 session 3)
+            backbone=replace(
+                cfg.model.backbone, quantize="serve", calib_quantile=0.999
+            ),
             lifter=replace(
                 cfg.model.lifter,
                 compute_dtype="bfloat16",
