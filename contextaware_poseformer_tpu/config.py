@@ -150,6 +150,12 @@ class LifterConfig:
     # on the VPU). Applies to context/res/joint blocks; inference-oriented
     # (needs inactive dropout/drop-path).
     mlp: str = "einsum"
+    # DeformableBlock project-then-sample: run each level's embed_proj on
+    # the feature map BEFORE the sampler when C_l > head_dim — identical
+    # math (bilinear sampling is channel-linear; border weights sum to 1),
+    # C_l/head_dim less sampler matmul work. Deploy-mode switch; the
+    # reference order is kept for parity/training.
+    sampler_pre_project: bool = False
 
     @property
     def embed_dim(self) -> int:
@@ -329,6 +335,7 @@ def deploy(cfg: Config) -> Config:
                 sampler_precision="default",
                 attention="fused",
                 mlp="fused",
+                sampler_pre_project=True,
             ),
         ),
     )

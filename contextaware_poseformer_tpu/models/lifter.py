@@ -80,6 +80,14 @@ class DeformableBlock(nn.Module):
     dtype: Any = None
     ln_dtype: Any = jnp.float32
     mlp_impl: str = "einsum"  # see layers.Block
+    # project-then-sample: bilinear sampling is linear along the channel
+    # axis and border-mode mixing weights sum to 1, so for levels with
+    # C_l > head_dim the embed_proj Linear (bias included) can run on the
+    # feature map BEFORE sampling — identical math, C_l/head_dim less
+    # sampler matmul work (CPN's all-256 pyramid: ~4x; PERF.md round-2
+    # session 3). Float-associativity-level differences only; the deploy
+    # preset enables it, parity/training configs keep the reference order.
+    pre_project: bool = False
 
     @nn.compact
     def __call__(
@@ -131,13 +139,31 @@ class DeformableBlock(nn.Module):
         # composite (20.7 vs 19.2 ms): the ~100us/block copies it targeted
         # are the packed-offsets -> (P, 2) points relayout, which both
         # formulations pay, and the in-kernel epilogue added ~0.35 ms.
+        from contextaware_poseformer_tpu.ops.deformable import (
+            kernel_can_preproject,
+        )
+
+        projs = [
+            Linear(head_dim, dtype=self.dtype, name=f"embed_proj_{l}")
+            for l in range(levels)
+        ]
+        pre = [
+            self.pre_project
+            and kernel_can_preproject(*features[l].shape[1:], head_dim)
+            for l in range(levels)
+        ]
+        wbs = [
+            projs[l](features[l], params_only=True) if pre[l] else None
+            for l in range(levels)
+        ]
         raw = sample_points_levels(
             features, pos, padding_mode="border", align_corners=True,
             impl=self.sampler_impl, precision=self.sampler_precision,
-        )  # tuple of (b, p, nh*ns, C_l)
+            projs=[wb[0] if wb else None for wb in wbs],
+            biases=[wb[1] if wb else None for wb in wbs],
+        )  # tuple of (b, p, nh*ns, C_l or head_dim)
         sampled = [
-            Linear(head_dim, dtype=self.dtype, name=f"embed_proj_{l}")(raw[l])
-            for l in range(levels)
+            raw[l] if pre[l] else projs[l](raw[l]) for l in range(levels)
         ]
         sampled = jnp.stack(sampled, axis=1)  # (b, levels, p, nh*ns, head_dim)
         sampled = sampled.reshape(b, levels, p, nh, ns, head_dim)
@@ -237,6 +263,7 @@ class PoseLifter(nn.Module):
                     dtype=dtype,
                     ln_dtype=ln_dtype,
                     mlp_impl=cfg.mlp,
+                    pre_project=cfg.sampler_pre_project,
                     name=f"context_block_{i}",
                 )(tokens, ref, features, deterministic)
 

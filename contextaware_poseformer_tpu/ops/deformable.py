@@ -303,25 +303,58 @@ def sample_points(
 # ---------------------------------------------------------------------------
 
 
-def _sample_multi_kernel(pts_ref, *rest, shapes, border, align_corners,
-                         precision):
-    """pts (1, L*P_pad, 2) packed level-major; rest = L feature refs then
-    L output refs. Runs the per-level sampling bodies back to back."""
+def kernel_can_preproject(h: int, w: int, c: int, hd: int) -> bool:
+    """True when the fused kernel can run a channel projection (C -> hd)
+    IN-VMEM before sampling level (h, w, c): the projection must shrink the
+    channel count and the level must be on the one-stage path (the
+    separable body's (H, W*C) view cannot be re-viewed after an in-kernel
+    matmul — Mosaic forbids lane-folding reshapes)."""
+    return c > hd and not _use_two_stage(h, w, c)
+
+
+def _sample_multi_kernel(pts_ref, *rest, shapes, proj_dims, border,
+                         align_corners, precision):
+    """pts (1, L*P_pad, 2) packed level-major; rest = L feature refs, then
+    (kernel, bias) ref pairs for each level with proj_dims[l] set, then L
+    output refs. Projected levels compute Fp = F @ W + b in VMEM (bilinear
+    sampling is channel-linear, so sampling Fp equals projecting samples —
+    models/lifter.py pre_project) and sample hd lanes instead of C."""
     levels = len(shapes)
     f_refs = rest[:levels]
-    out_refs = rest[levels:]
+    n_proj = sum(1 for d in proj_dims if d)
+    wb_refs = rest[levels:levels + 2 * n_proj]
+    out_refs = rest[levels + 2 * n_proj:]
     p_pad = pts_ref.shape[1] // levels
+    hi = jax.lax.Precision.HIGHEST
+    pi = 0
     for l, (h, w, c) in enumerate(shapes):
         pts = pts_ref[0, l * p_pad:(l + 1) * p_pad]
+        f2d = f_refs[l][0]
+        c_out = c
+        two_stage = _use_two_stage(h, w, c)
+        if proj_dims[l]:
+            wp, bp = wb_refs[2 * pi][...], wb_refs[2 * pi + 1][...]
+            pi += 1
+            if precision == "highest":
+                f2d = jnp.dot(f2d.astype(jnp.float32),
+                              wp.astype(jnp.float32),
+                              preferred_element_type=jnp.float32,
+                              precision=hi) + bp
+            else:
+                f2d = jnp.dot(f2d.astype(jnp.bfloat16),
+                              wp.astype(jnp.bfloat16),
+                              preferred_element_type=jnp.float32) + bp
+            c_out = proj_dims[l]
+            two_stage = False
         out_refs[l][0] = _sample_body(
-            pts, f_refs[l][0], h=h, w=w, c=c, border=border,
+            pts, f2d, h=h, w=w, c=c_out, border=border,
             align_corners=align_corners, precision=precision,
-            two_stage=_use_two_stage(h, w, c), out_dtype=out_refs[l].dtype,
+            two_stage=two_stage, out_dtype=out_refs[l].dtype,
         )
 
 
-def _multi_fwd_impl(features, points, *, padding_mode, align_corners,
-                    interpret, precision):
+def _multi_fwd_impl(features, points, projs=None, biases=None, *,
+                    padding_mode, align_corners, interpret, precision):
     levels = len(features)
     b = features[0].shape[0]
     batch_shape = points.shape[2:-1]  # points: (b, L, ..., 2)
@@ -332,11 +365,18 @@ def _multi_fwd_impl(features, points, *, padding_mode, align_corners,
         pts = jnp.pad(pts, ((0, 0), (0, 0), (0, p_pad - p), (0, 0)))
     pts = pts.reshape(b, levels * p_pad, 2)
 
+    if projs is None:
+        projs = (None,) * levels
+    if biases is None:
+        biases = (None,) * levels
+    proj_dims = tuple(
+        (w.shape[-1] if w is not None else 0) for w in projs
+    )
     shapes = tuple(f.shape[1:] for f in features)
     f_ins, f_specs = [], []
-    for f in features:
+    for f, d in zip(features, proj_dims):
         _, h, w, c = f.shape
-        if _use_two_stage(h, w, c):
+        if _use_two_stage(h, w, c) and not d:
             f_ins.append(f.reshape(b, h, w * c))
             f_specs.append(pl.BlockSpec((1, h, w * c), lambda i: (i, 0, 0),
                                         memory_space=pltpu.VMEM))
@@ -344,9 +384,21 @@ def _multi_fwd_impl(features, points, *, padding_mode, align_corners,
             f_ins.append(f.reshape(b, h * w, c))
             f_specs.append(pl.BlockSpec((1, h * w, c), lambda i: (i, 0, 0),
                                         memory_space=pltpu.VMEM))
+    wb_ins, wb_specs = [], []
+    for wk, bi in zip(projs, biases):
+        if wk is None:
+            continue
+        bi2 = jnp.zeros((1, wk.shape[-1]), jnp.float32) if bi is None else (
+            bi.reshape(1, -1).astype(jnp.float32))
+        wb_ins.extend([wk, bi2])
+        full = lambda a: pl.BlockSpec(
+            a.shape, lambda i, nd=a.ndim: (0,) * nd,
+            memory_space=pltpu.VMEM)
+        wb_specs.extend([full(wk), full(bi2)])
+    out_c = tuple(d or c for (_, _, c), d in zip(shapes, proj_dims))
 
     kernel = functools.partial(
-        _sample_multi_kernel, shapes=shapes,
+        _sample_multi_kernel, shapes=shapes, proj_dims=proj_dims,
         border=padding_mode == "border", align_corners=align_corners,
         precision=precision,
     )
@@ -357,28 +409,33 @@ def _multi_fwd_impl(features, points, *, padding_mode, align_corners,
             pl.BlockSpec((1, levels * p_pad, 2), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             *f_specs,
+            *wb_specs,
         ],
         out_specs=[
             pl.BlockSpec((1, p_pad, c), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
-            for (_, _, c) in shapes
+            for c in out_c
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, p_pad, c), f.dtype)
-            for f, (_, _, c) in zip(features, shapes)
+            for f, c in zip(features, out_c)
         ],
         cost_estimate=pl.CostEstimate(
-            flops=sum(2 * b * p_pad * h * w * c for (h, w, c) in shapes),
+            flops=sum(
+                2 * b * (p_pad * h * w * co + (h * w * c * co if d else 0))
+                for (h, w, c), co, d in zip(shapes, out_c, proj_dims)
+            ),
             bytes_accessed=sum(
-                b * (h * w * c + p_pad * (2 + c)) * 4 for (h, w, c) in shapes
+                b * (h * w * c + p_pad * (2 + co)) * 4
+                for (h, w, c), co in zip(shapes, out_c)
             ),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(pts, *f_ins)
+    )(pts, *f_ins, *wb_ins)
     return tuple(
         o[:, :p].reshape(b, *batch_shape, c)
-        for o, (_, _, c) in zip(outs, shapes)
+        for o, c in zip(outs, out_c)
     )
 
 
@@ -431,6 +488,64 @@ def _multi_bwd(padding_mode, align_corners, interpret, precision, residuals,
 
 
 sample_points_multi.defvjp(_multi_fwd, _multi_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def sample_project_points_multi(
+    features: tuple,
+    points: jax.Array,
+    projs: tuple,   # per level: (C_l, hd) kernel or None
+    biases: tuple,  # per level: (hd,) bias or None (None = no bias)
+    padding_mode: str = "zeros",
+    align_corners: bool = True,
+    interpret: bool = False,
+    precision: str = "highest",
+) -> tuple:
+    """sample_points_multi with an optional IN-KERNEL channel projection
+    per level: levels with projs[l] set sample Fp = F @ W + b instead of F
+    and return (b, ..., hd). Exactly sample(project(F)) — which for
+    border-mode points equals project(sample(F)) including the bias
+    (models/lifter.py pre_project). Projected levels must satisfy
+    kernel_can_preproject."""
+    return _multi_fwd_impl(
+        tuple(features), points, tuple(projs), tuple(biases),
+        padding_mode=padding_mode, align_corners=align_corners,
+        interpret=interpret, precision=precision,
+    )
+
+
+def _multi_proj_fwd(features, points, projs, biases, padding_mode,
+                    align_corners, interpret, precision):
+    out = _multi_fwd_impl(
+        tuple(features), points, tuple(projs), tuple(biases),
+        padding_mode=padding_mode, align_corners=align_corners,
+        interpret=interpret, precision=precision,
+    )
+    return out, (tuple(features), points, tuple(projs), tuple(biases))
+
+
+def _multi_proj_bwd(padding_mode, align_corners, interpret, precision,
+                    residuals, grads):
+    features, points, projs, biases = residuals
+
+    def ref_fn(feats, pts, pjs, bis):
+        outs = []
+        for l, f in enumerate(feats):
+            if pjs[l] is not None:
+                f = jnp.einsum("bhwc,cd->bhwd", f, pjs[l])
+                if bis[l] is not None:
+                    f = f + bis[l]
+            outs.append(grid_sample.grid_sample_points(
+                f, pts[:, l], padding_mode=padding_mode,
+                align_corners=align_corners,
+            ))
+        return tuple(outs)
+
+    _, vjp = jax.vjp(ref_fn, features, points, projs, biases)
+    return vjp(tuple(grads))
+
+
+sample_project_points_multi.defvjp(_multi_proj_fwd, _multi_proj_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -674,15 +789,22 @@ def deformable_aggregate(
 _VMEM_GROUP_BUDGET = 13 * 2**20
 
 
-def _vmem_level_groups(shapes, p_pad: int, feat_bytes: int) -> list:
+def _vmem_level_groups(shapes, p_pad: int, feat_bytes: int,
+                       proj_dims=None) -> list:
     """Greedy contiguous grouping of levels so each fused launch's estimated
     per-program VMEM stays under budget. Estimate mirrors _sample_body's
     live tensors (f32 mixing matrices dominate); a level that alone exceeds
-    the budget is emitted alone and left to the real 16 MB limit."""
+    the budget is emitted alone and left to the real 16 MB limit.
+    proj_dims[l] (in-kernel projection to hd lanes) adds the projected
+    feature copy and shrinks the sampled output."""
     est = []
-    for (h, w, c) in shapes:
-        e = h * w * c * feat_bytes + p_pad * c * feat_bytes  # feature + out
-        if _use_two_stage(h, w, c):
+    for i, (h, w, c) in enumerate(shapes):
+        d = proj_dims[i] if proj_dims else 0
+        co = d or c
+        e = h * w * c * feat_bytes + p_pad * co * feat_bytes  # feature + out
+        if d:
+            e += h * w * d * 4  # in-kernel projected copy (f32)
+        if _use_two_stage(h, w, c) and not d:
             e += p_pad * h * 4 + 2 * p_pad * w * c * 4 + w * c * c * 4
         else:
             e += 3 * p_pad * h * w * 4  # rowv, colv, m
@@ -704,20 +826,33 @@ def sample_points_levels(
     align_corners: bool = True,
     impl: str = "auto",
     precision: str = "highest",
+    projs=None,   # per level: (C_l, hd) kernel or None — pre-sample proj
+    biases=None,  # per level: (hd,) bias or None
 ) -> tuple:
     """Level-set dispatcher: one fused kernel launch on TPU (split into the
     fewest VMEM-feasible launches), per-level jnp gathers elsewhere (same
-    dispatch contract as sample_points)."""
+    dispatch contract as sample_points). Levels with projs[l] set sample
+    the projected map F @ W + b (returning hd channels); on the fused path
+    the projection runs IN-KERNEL (kernel_can_preproject must hold)."""
+    levels = len(features)
+    if projs is None:
+        projs = (None,) * levels
+    if biases is None:
+        biases = (None,) * levels
     if impl == "auto":
         impl = "fused" if jax.default_backend() == "tpu" else "gather"
     if impl == "gather":
-        return tuple(
-            grid_sample.grid_sample_points(
+        outs = []
+        for l, f in enumerate(features):
+            if projs[l] is not None:
+                f = jnp.einsum("bhwc,cd->bhwd", f, projs[l])
+                if biases[l] is not None:
+                    f = f + biases[l]
+            outs.append(grid_sample.grid_sample_points(
                 f, points[:, l], padding_mode=padding_mode,
                 align_corners=align_corners,
-            )
-            for l, f in enumerate(features)
-        )
+            ))
+        return tuple(outs)
     if impl in ("fused", "fused_interpret"):
         p = 1
         for s in points.shape[2:-1]:
@@ -726,12 +861,21 @@ def sample_points_levels(
         groups = _vmem_level_groups(
             tuple(f.shape[1:] for f in features), p_pad,
             jnp.dtype(features[0].dtype).itemsize,
+            [w.shape[-1] if w is not None else 0 for w in projs],
         )
         outs = []
         for lo, hi in groups:
-            outs.extend(sample_points_multi(
-                tuple(features[lo:hi]), points[:, lo:hi], padding_mode,
-                align_corners, impl == "fused_interpret", precision,
-            ))
+            if any(w is not None for w in projs[lo:hi]):
+                outs.extend(sample_project_points_multi(
+                    tuple(features[lo:hi]), points[:, lo:hi],
+                    tuple(projs[lo:hi]), tuple(biases[lo:hi]),
+                    padding_mode, align_corners,
+                    impl == "fused_interpret", precision,
+                ))
+            else:
+                outs.extend(sample_points_multi(
+                    tuple(features[lo:hi]), points[:, lo:hi], padding_mode,
+                    align_corners, impl == "fused_interpret", precision,
+                ))
         return tuple(outs)
     raise ValueError(impl)

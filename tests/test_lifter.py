@@ -128,3 +128,59 @@ def test_lifter_jit_and_grad():
     # gradient reaches the deformable offsets (through the sampler)
     gb = g["params"]["context_block_0"]["sampling_offsets"]["dense"]["kernel"]
     assert np.abs(np.asarray(gb)).sum() > 0
+
+
+def test_pre_project_matches_reference_order():
+    """sampler_pre_project=True (project-then-sample, deploy preset) must
+    match the reference sample-then-project order on the same params:
+    bilinear sampling is linear in channels and border-mode mixing weights
+    sum to 1, so the difference is float associativity only. Levels with
+    C_l <= head_dim (here head_dim=32 > dims[0]=8) keep the post order —
+    every embed_proj param must exist in both modes."""
+    import dataclasses
+
+    rng = np.random.RandomState(3)
+    dims = (8, 16, 24, 40)
+    cfg = LifterConfig(
+        embed_dim_ratio=32, depth=2, levels=4, num_heads=8,
+        use_deformable=True,
+    )
+    kp2d, ref, feats = _make_inputs(rng, dims=dims)
+    j = lambda a: jnp.asarray(a)  # noqa: E731
+    jf = [j(f) for f in feats]
+
+    model = PoseLifter(cfg=cfg, feature_dims=dims)
+    params = model.init(jax.random.PRNGKey(0), j(kp2d), j(ref), jf)
+    # randomize: zero-init offsets/weights would make sampling trivial
+    leaves, treedef = jax.tree.flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+    params = jax.tree.unflatten(
+        treedef,
+        [0.05 * jax.random.normal(k, l.shape, l.dtype)
+         for k, l in zip(keys, leaves)],
+    )
+
+    base = np.asarray(model.apply(params, j(kp2d), j(ref), jf))
+    mpre = PoseLifter(
+        cfg=dataclasses.replace(cfg, sampler_pre_project=True),
+        feature_dims=dims,
+    )
+    # identical param trees (no new/missing embed_proj params)
+    pre_init = mpre.init(jax.random.PRNGKey(0), j(kp2d), j(ref), jf)
+    paths = lambda t: {
+        "/".join(map(str, p))
+        for p, _ in jax.tree_util.tree_flatten_with_path(t)[0]
+    }
+    assert paths(pre_init) == paths(params)
+    out = np.asarray(mpre.apply(params, j(kp2d), j(ref), jf))
+    np.testing.assert_allclose(out, base, rtol=1e-5, atol=1e-6)
+
+    # fused path (interpret mode): the projection runs IN-KERNEL
+    mfused = PoseLifter(
+        cfg=dataclasses.replace(
+            cfg, sampler_pre_project=True, sampler="fused_interpret"
+        ),
+        feature_dims=dims,
+    )
+    outf = np.asarray(mfused.apply(params, j(kp2d), j(ref), jf))
+    np.testing.assert_allclose(outf, base, rtol=1e-5, atol=1e-6)
