@@ -57,6 +57,11 @@ class BackboneConfig:
     # spends its 255 steps on the bulk of the distribution. Only read during
     # calibrate_quantization passes; the inference graph is unchanged.
     calib_quantile: float = 1.0
+    # quantize="serve" only: calibrated STATIC amax for the wide-conv int8
+    # path instead of a runtime max|x| reduce per conv (see
+    # backbone_common.ConvBN.serve_static_amax). Accuracy impact measured
+    # via tools/deploy_numerics.py before enabling per preset.
+    serve_static_amax: bool = False
     # layer1 implementation under quantize="serve": "xla" = the e2e-int8
     # XLA graph; "pallas" = the fused 4-block VMEM-resident chain kernel
     # (ops/layer1_chain.py) — same quantized arithmetic, HBM touched only

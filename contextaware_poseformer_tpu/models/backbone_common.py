@@ -86,6 +86,13 @@ class ConvBN(nn.Module):
     dtype: Any = jnp.float32
     quantize: str = "none"  # "none" | "c128" | "static" | "serve"
     calib_quantile: float = 1.0  # see observed_amax
+    # quantize="serve" only: use CALIBRATED static amax for the wide-conv
+    # int8 path instead of computing max|x| at runtime — removes one
+    # full-tensor abs-reduce per wide conv per step (CPN deploy: ~0.7
+    # ms/iter of abs_reduce fusions). Calibration passes still run the
+    # dynamic (c128-graph) arithmetic while observing, preserving the
+    # calibration-bit-matches-c128 invariant.
+    serve_static_amax: bool = False
 
     @nn.compact
     def __call__(self, x, x_quant=None, packed=False):
@@ -114,24 +121,33 @@ class ConvBN(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
 
         pad = (ks - 1) // 2
-        dyn_int8 = x_quant is None and (
-            self.quantize in ("c128", "serve")
-            and in_ch >= 128 and self.features >= 128
+        wide = in_ch >= 128 and self.features >= 128
+        serve_static = (
+            x_quant is None and self.quantize == "serve"
+            and self.serve_static_amax and wide
         )
-        static_int8 = x_quant is None and self.quantize == "static" and (
-            (ks == 3 and in_ch >= 16 and self.features >= 16)
-            or (in_ch >= 128 and self.features >= 128)
+        dyn_int8 = x_quant is None and (
+            self.quantize in ("c128", "serve") and wide and not serve_static
+        )
+        static_int8 = serve_static or (
+            x_quant is None and self.quantize == "static" and (
+                (ks == 3 and in_ch >= 16 and self.features >= 16) or wide
+            )
         )
         if static_int8:
             amax_v = self.variable(
                 "calib", "amax", lambda: jnp.zeros((), jnp.float32)
             )
             if self.is_mutable_collection("calib"):
-                # calibration pass: observe the amax statistic, compute float
+                # calibration pass: observe the amax statistic, then run the
+                # float path ("static") or the dynamic c128 path ("serve" —
+                # keeps calibration bit-matching the c128 graph)
                 amax_v.value = jnp.maximum(
                     amax_v.value, observed_amax(x, self.calib_quantile)
                 )
                 static_int8 = False
+                if serve_static:
+                    dyn_int8 = True
         if packed or dyn_int8 or static_int8 or x_quant is not None:
             # Weight quantization. Computing round(k / wscale) per call costs
             # a small reduce+round op PER CONV PER STEP — ~220 extra op

@@ -48,7 +48,8 @@ class CPN(nn.Module):
         return ConvBN(
             features=feat, kernel_size=ks, stride=stride, relu=relu,
             dtype=self.dtype, quantize=self.cfg.quantize,
-            calib_quantile=self.cfg.calib_quantile, name=name,
+            calib_quantile=self.cfg.calib_quantile,
+            serve_static_amax=self.cfg.serve_static_amax, name=name,
         )
 
     def _resnet_bottleneck(self, x, prefix, planes, stride, downsample):

@@ -45,7 +45,8 @@ class HRNet(nn.Module):
         return ConvBN(
             features=feat, kernel_size=ks, stride=stride, relu=relu,
             dtype=self.dtype, quantize=self.cfg.quantize,
-            calib_quantile=self.cfg.calib_quantile, name=name,
+            calib_quantile=self.cfg.calib_quantile,
+            serve_static_amax=self.cfg.serve_static_amax, name=name,
         )
 
     def _basic_block(self, x, prefix: str, planes: int):

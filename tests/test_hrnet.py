@@ -303,3 +303,47 @@ def test_layer1_pallas_chain_matches_xla_serve():
     out_p2 = bb_p.apply(stored, x)
     for a, b in zip(out_x, out_p2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_serve_static_amax_close_to_dynamic():
+    """serve_static_amax=True replaces the wide convs' runtime max|x|
+    reduce with the calibrated static scale. Calibration runs the c128
+    graph (float layer1) while serve inference runs int8 layer1, so
+    post-layer1 static amaxes differ from inference-dynamic ones by the
+    layer1 quantization error — outputs must be close, not bit-equal,
+    even when calibrating on the inference batch itself."""
+    import dataclasses
+
+    from contextaware_poseformer_tpu.config import hrnet_backbone
+    from contextaware_poseformer_tpu.models.backbone_common import (
+        calibrate_quantization,
+        check_calibrated,
+    )
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    cfg = dataclasses.replace(hrnet_backbone(32), quantize="serve")
+    bb_dyn = HRNet(cfg=cfg)
+    vs = bb_dyn.init(jax.random.PRNGKey(0), x)
+    apply_dyn = lambda v, b, **kw: bb_dyn.apply(v, b, **kw)
+    vs_dyn = calibrate_quantization(apply_dyn, vs, [x])
+    out_dyn = bb_dyn.apply(vs_dyn, x)
+
+    bb_st = HRNet(
+        cfg=dataclasses.replace(cfg, serve_static_amax=True)
+    )
+    apply_st = lambda v, b, **kw: bb_st.apply(v, b, **kw)
+    vs_st = calibrate_quantization(apply_st, vs, [x])
+    check_calibrated(vs_st)
+    # static mode records amax for every wide conv (superset of the
+    # dynamic model's layer1-only calib tree)
+    n_dyn = len(jax.tree.leaves(vs_dyn["calib"]))
+    n_st = len(jax.tree.leaves(vs_st["calib"]))
+    assert n_st > n_dyn
+    out_st = bb_st.apply(vs_st, x)
+    for a, b in zip(out_dyn, out_st):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        rms_rel = np.sqrt(((a - b) ** 2).mean()) / (a.std() + 1e-9)
+        assert 0.0 <= rms_rel < 0.05, rms_rel  # engaged elsewhere, bounded

@@ -165,14 +165,34 @@ def trained_ab(steps_n: int = 250):
         p1q = eval_p1(mq)
         print(f"trained P1: deploy q={q} {p1q:.3f} mm | "
               f"delta vs fp32 {p1q - p1:+.3f} mm")
+    # serve_static_amax: wide convs on calibrated static scales (no runtime
+    # abs-reduce) at the deploy calibration quantile
+    ms = dataclasses.replace(
+        dep, backbone=dataclasses.replace(
+            dep.backbone, serve_static_amax=True
+        )
+    )
+    p1s = eval_p1(ms)
+    print(f"trained P1: deploy static-amax {p1s:.3f} mm | "
+          f"delta vs fp32 {p1s - p1:+.3f} mm")
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-trained", action="store_true")
+    ap.add_argument("--skip-output", action="store_true",
+                    help="skip the full-size output-delta pass (TPU-heavy)")
     ap.add_argument("--steps", type=int, default=250)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the axon plugin ignores "
+                         "JAX_PLATFORMS; this uses jax.config directly)")
     args = ap.parse_args()
-    output_delta()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    if not args.skip_output:
+        output_delta()
     if not args.skip_trained:
         trained_ab(args.steps)
 

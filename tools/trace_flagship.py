@@ -64,9 +64,13 @@ def main():
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--preset", default="h36m_hrnet_32")
     ap.add_argument("--no-deploy", action="store_true")
+    ap.add_argument("--static-amax", action="store_true",
+                    help="serve_static_amax=True on top of deploy")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--top", type=int, default=40)
     args = ap.parse_args()
+
+    import dataclasses
 
     import numpy as np
 
@@ -82,6 +86,13 @@ def main():
 
     cfg = preset(args.preset)
     model_cfg = cfg.model if args.no_deploy else deploy(cfg).model
+    if args.static_amax:
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            backbone=dataclasses.replace(
+                model_cfg.backbone, serve_static_amax=True
+            ),
+        )
     model = ContextAwarePoseFormer(cfg=model_cfg, dtype=jnp.bfloat16)
     h, w = cfg.model.image_shape
     B = args.batch
