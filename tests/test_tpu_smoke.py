@@ -85,3 +85,68 @@ def test_fused_attention_on_tpu(tpu):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3
     )
+
+
+def test_projected_sampler_on_tpu(tpu):
+    """In-kernel channel projection (sample_project_points_multi) on real
+    hardware: Mosaic must accept the extra VMEM matmul + bias add, and the
+    result must match project-then-gather."""
+    import jax
+    import jax.numpy as jnp
+
+    from contextaware_poseformer_tpu.ops import deformable, grid_sample
+
+    rng = np.random.RandomState(2)
+    shapes = ((16, 12, 64), (8, 8, 128))
+    feats = tuple(
+        jnp.asarray(rng.randn(2, h, w, c).astype(np.float32))
+        for (h, w, c) in shapes
+    )
+    pts = jnp.asarray(
+        rng.uniform(-1, 1, (2, 2, 17, 4, 2)).astype(np.float32))
+    projs = [
+        jnp.asarray(rng.randn(c, 32).astype(np.float32) * 0.1)
+        for (_, _, c) in shapes
+    ]
+    biases = [
+        jnp.asarray(rng.randn(32).astype(np.float32) * 0.1)
+        for _ in shapes
+    ]
+
+    got = jax.jit(
+        lambda f, p, pj, bi: deformable.sample_points_levels(
+            f, p, padding_mode="border", impl="fused",
+            projs=pj, biases=bi,
+        )
+    )(feats, pts, projs, biases)
+    for l, f in enumerate(feats):
+        fp = jnp.einsum("bhwc,cd->bhwd", f, projs[l]) + biases[l]
+        want = grid_sample.grid_sample_points(
+            fp, pts[:, l], padding_mode="border")
+        np.testing.assert_allclose(
+            np.asarray(got[l]), np.asarray(want), rtol=2e-5, atol=2e-5
+        )
+
+
+def test_fused_mlp_on_tpu(tpu):
+    """LN+MLP+residual kernel (ops/fused_mlp.py) on real hardware."""
+    import jax
+    import jax.numpy as jnp
+
+    from contextaware_poseformer_tpu.ops import fused_mlp as fm
+
+    rng = np.random.RandomState(3)
+    rows, d, hidden = 40, 128, 256
+    x = jnp.asarray(rng.randn(rows, d).astype(np.float32) * 0.3)
+    ls = jnp.asarray(rng.rand(d).astype(np.float32) + 0.5)
+    lb = jnp.asarray(rng.randn(d).astype(np.float32) * 0.1)
+    k1 = jnp.asarray(rng.randn(d, hidden).astype(np.float32) * 0.05)
+    b1 = jnp.asarray(rng.randn(hidden).astype(np.float32) * 0.01)
+    k2 = jnp.asarray(rng.randn(hidden, d).astype(np.float32) * 0.05)
+    b2 = jnp.asarray(rng.randn(d).astype(np.float32) * 0.01)
+
+    got = jax.jit(fm.ln_mlp_residual)(x, ls, lb, k1, b1, k2, b2)
+    want = fm.ln_mlp_reference(x, ls, lb, k1, b1, k2, b2, 1e-6)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3
+    )
