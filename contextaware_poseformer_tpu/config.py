@@ -149,6 +149,11 @@ class LifterConfig:
     # dim 640) always use einsum: the pairwise fused form scales O(N^2)
     # in instructions and loses there.
     attention: str = "einsum"
+    # joint-block (17-token, dim 640) attention: "einsum" (parity default)
+    # or "grouped" (Pallas head-batched scores/softmax/AV middle,
+    # ops/joint_attention.py; qkv/proj stay XLA). Separate from `attention`
+    # because the res-block pairwise kernel loses at N=17.
+    attention_joint: str = "einsum"
     # block MLP implementation: "einsum" (XLA LayerNorm + Mlp, parity
     # default) or "fused" (single Pallas LN+MLP+residual kernel,
     # ops/fused_mlp.py — no HBM round trip between fc1/fc2, LN statistics

@@ -170,9 +170,12 @@ class Attention(nn.Module):
     attn_drop: float = 0.0
     proj_drop: float = 0.0
     dtype: Any = None
-    # "einsum" (XLA, the parity default) or "fused" (Pallas short-sequence
-    # kernel — 9.8x on the 5-token res blocks; falls back to einsum when
-    # attention/proj dropout is active since the kernel takes no rng)
+    # "einsum" (XLA, the parity default), "fused" (Pallas pairwise
+    # short-sequence kernel — 9.8x on the 5-token res blocks; O(N^2)
+    # instructions, loses at N=17), or "grouped" (Pallas head-batched
+    # scores/softmax/AV middle for the 17-token joint blocks,
+    # ops/joint_attention.py — qkv/proj stay XLA). Both kernels fall back
+    # to einsum when attention/proj dropout is active (no rng in-kernel).
     impl: str = "einsum"
 
     @nn.compact
@@ -181,9 +184,22 @@ class Attention(nn.Module):
         head_dim = c // self.num_heads
         scale = head_dim**-0.5
 
-        use_fused = self.impl == "fused" and (
-            deterministic or (self.attn_drop == 0.0 and self.proj_drop == 0.0)
+        droppable = deterministic or (
+            self.attn_drop == 0.0 and self.proj_drop == 0.0
         )
+        if self.impl == "grouped" and droppable:
+            from contextaware_poseformer_tpu.ops.joint_attention import (
+                attention_middle,
+            )
+
+            qkv = Linear(c * 3, use_bias=self.qkv_bias, dtype=self.dtype,
+                         name="qkv")(x)
+            out = attention_middle(
+                qkv, self.num_heads, jax.default_backend() != "tpu",
+            )
+            return Linear(c, dtype=self.dtype, name="proj")(out)
+
+        use_fused = self.impl == "fused" and droppable
         if use_fused:
             from contextaware_poseformer_tpu.ops.small_attention import (
                 small_attention,

@@ -297,6 +297,7 @@ class PoseLifter(nn.Module):
                 drop_path=dpr[i],
                 dtype=dtype,
                 ln_dtype=ln_dtype,
+                attn_impl=cfg.attention_joint,
                 mlp_impl=cfg.mlp,
                 name=f"joint_block_{i}",
             )(t, deterministic)

@@ -92,3 +92,47 @@ def test_lifter_fused_attention_param_tree_and_output():
     out_f = m_f.apply(params, kp, ref_pts, feats)
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_e),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_grouped_attention_middle_matches_reference():
+    """ops/joint_attention.attention_middle (interpret) vs the einsum
+    reference at the joint-block shape (17 tokens, dim 640, 8 heads) and
+    at a non-multiple batch (padding rows/images masked correctly)."""
+    from contextaware_poseformer_tpu.ops import joint_attention as ja
+
+    rng = np.random.RandomState(0)
+    for b in (16, 11):
+        qkv = jnp.asarray(rng.randn(b, 17, 3 * 640).astype(np.float32) * 0.2)
+        got = ja.attention_middle(qkv, 8, True)
+        want = ja.attention_middle_reference(qkv, 8)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+        )
+
+
+def test_grouped_attention_through_block():
+    """Attention(impl='grouped') == Attention(impl='einsum') on the same
+    params (identical tree), plus grads through the custom vjp."""
+    from contextaware_poseformer_tpu.models.layers import Attention
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(5, 17, 128).astype(np.float32) * 0.3)
+    a_e = Attention(8, impl="einsum")
+    a_g = Attention(8, impl="grouped")
+    params = a_e.init(jax.random.PRNGKey(0), x)
+    paths = lambda t: {
+        "/".join(map(str, p))
+        for p, _ in jax.tree_util.tree_flatten_with_path(t)[0]
+    }
+    assert paths(a_g.init(jax.random.PRNGKey(0), x)) == paths(params)
+    oe = a_e.apply(params, x)
+    og = a_g.apply(params, x)
+    np.testing.assert_allclose(
+        np.asarray(og), np.asarray(oe), rtol=2e-5, atol=2e-5
+    )
+    ge = jax.grad(lambda p: jnp.sum(a_e.apply(p, x) ** 2))(params)
+    gg = jax.grad(lambda p: jnp.sum(a_g.apply(p, x) ** 2))(params)
+    for a, b in zip(jax.tree.leaves(ge), jax.tree.leaves(gg)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+        )

@@ -150,3 +150,21 @@ def test_fused_mlp_on_tpu(tpu):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3
     )
+
+
+def test_grouped_attention_on_tpu(tpu):
+    """Head-batched joint-attention middle (ops/joint_attention.py) on
+    real hardware — covers the lane-contracting ("NT") dot_general and the
+    block-diagonal image masking."""
+    import jax
+    import jax.numpy as jnp
+
+    from contextaware_poseformer_tpu.ops import joint_attention as ja
+
+    rng = np.random.RandomState(4)
+    qkv = jnp.asarray(rng.randn(11, 17, 3 * 640).astype(np.float32) * 0.2)
+    got = jax.jit(lambda q: ja.attention_middle(q, 8))(qkv)
+    want = ja.attention_middle_reference(qkv, 8)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+    )
