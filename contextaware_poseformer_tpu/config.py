@@ -318,14 +318,17 @@ def deploy(cfg: Config) -> Config:
     """Switch a preset to deployment numerics (inference serving).
 
     bf16 backbone + bf16 lifter stream (params, LayerNorms, softmax, and
-    the head stay fp32), single-pass bf16 MXU sampling, fused short-sequence
-    attention, and quantize="serve": int8 for convs with both channel counts
-    >= 128 plus end-to-end int8 layer1 (composite device time 21.1 -> 19.3
-    ms at batch 128; PERF.md). "serve" needs a one-time calibration — run
-    models.prepare_serving(model, variables, example_args) after loading
-    params. Measured accuracy cost on trained models: P1 deltas of
-    -0.025 mm (bf16) and +0.006 mm (int8) — see PERF.md. The default preset
-    keeps full fp32 for training and reference-checkpoint parity.
+    the head stay fp32), single-pass bf16 MXU sampling with in-kernel
+    embed_proj projection (sampler_pre_project), fused short-sequence
+    attention + fused LN/MLP/residual kernels, and quantize="serve": int8
+    for convs with both channel counts >= 128 plus end-to-end int8 layer1,
+    calibrated at the q=0.999 activation percentile (flagship composite
+    ~18.8 ms device at batch 128; PERF.md). "serve" needs a one-time
+    calibration — run models.prepare_serving(model, variables,
+    example_args) after loading params. Measured accuracy cost on trained
+    models: P1 delta +0.036 mm for the full stack (tools/deploy_numerics
+    .py). The default preset keeps full fp32 for training and
+    reference-checkpoint parity.
     """
     return replace(
         cfg,
