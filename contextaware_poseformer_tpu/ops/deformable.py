@@ -18,9 +18,10 @@ zeros-padding semantics; border mode clamps the *coordinates* first
 (identical to ops/grid_sample.py, which remains the reference implementation
 and the training backward).
 
-The op is wrapped in jax.custom_vjp: forward = this kernel, backward = the
-jnp gather formulation's VJP (compiled by XLA), so the kernel is usable in
-training too.
+The op is wrapped in jax.custom_vjp: forward = this kernel; backward on TPU
+is a matching Pallas kernel (dF = M^T @ g on the MXU + one-hot-difference
+coordinate grads — the jnp-gather VJP would lower dF to XLA scatter-adds),
+elsewhere the jnp gather formulation's VJP. See _multi_bwd_pallas.
 """
 
 from __future__ import annotations
@@ -473,6 +474,18 @@ def _multi_fwd(features, points, padding_mode, align_corners, interpret,
 def _multi_bwd(padding_mode, align_corners, interpret, precision, residuals,
                grads):
     features, points = residuals
+    impl = _BWD_IMPL
+    if impl == "auto":
+        impl = (
+            "pallas"
+            if (not interpret and jax.default_backend() == "tpu")
+            else "reference"
+        )
+    if impl == "pallas":
+        return _multi_bwd_pallas(
+            features, points, tuple(grads), padding_mode, align_corners,
+            interpret,
+        )
 
     def ref_fn(feats, pts):
         return tuple(
@@ -488,6 +501,217 @@ def _multi_bwd(padding_mode, align_corners, interpret, precision, residuals,
 
 
 sample_points_multi.defvjp(_multi_fwd, _multi_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Pallas BACKWARD for the fused sampler (the training path).
+#
+# The jnp-gather VJP lowers dL/dF to XLA scatter-adds — on TPU those
+# serialize and dominate the train step. Matrix form instead (all MXU):
+#   dF    = M^T @ g                      (HW, P) x (P, C)
+#   dx_p  = sum_c g[p,c] * ((R * dC) @ F)[p,c] * dunnorm/dxn * dclip
+#   dy_p  = sum_c g[p,c] * ((dR * C) @ F)[p,c] * ...
+# where R/C are the forward's one-hot row/col mixes and dR/dC their exact
+# derivatives wrt the fractional offsets (one-hot difference pairs).
+# Numerics match jax.vjp of the gather formulation incl. the 0.5 tie
+# convention of clip's min/max gradients at exact borders.
+# ---------------------------------------------------------------------------
+
+# "auto": pallas on real TPU, reference elsewhere; tests override to
+# "pallas" (with interpret=True) or "reference".
+_BWD_IMPL = "auto"
+
+
+def _sample_bwd_kernel(pts_ref, f_ref, g_ref, df_ref, dpt_ref, *, h, w, c,
+                       border, align_corners):
+    hi = jax.lax.Precision.HIGHEST
+    pts = pts_ref[0]  # (P_pad, 2)
+    f2d = f_ref[0].astype(jnp.float32)  # (HW, C)
+    g = g_ref[0].astype(jnp.float32)  # (P_pad, C)
+    p = pts.shape[0]
+    hw = h * w
+
+    def unnorm(coord, size):
+        if align_corners:
+            return (coord + 1.0) * 0.5 * (size - 1), 0.5 * (size - 1)
+        return ((coord + 1.0) * size - 1.0) * 0.5, 0.5 * size
+
+    x_un, sx = unnorm(pts[:, 0].astype(jnp.float32), w)
+    y_un, sy = unnorm(pts[:, 1].astype(jnp.float32), h)
+    if border:
+        def climask(v, top):
+            # min/max grads with the 0.5 tie convention (matches jnp.clip)
+            up = 0.5 * (jnp.where(v < top, 1.0, 0.0)
+                        + jnp.where(v <= top, 1.0, 0.0))
+            lo = 0.5 * (jnp.where(v > 0.0, 1.0, 0.0)
+                        + jnp.where(v >= 0.0, 1.0, 0.0))
+            return up * lo
+
+        mx = climask(x_un, w - 1.0)
+        my = climask(y_un, h - 1.0)
+        x = jnp.clip(x_un, 0.0, w - 1.0)
+        y = jnp.clip(y_un, 0.0, h - 1.0)
+    else:
+        mx = jnp.ones_like(x_un)
+        my = jnp.ones_like(y_un)
+        x, y = x_un, y_un
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx, wy = x - x0, y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    # dF = M^T @ g : build the transposed mixing matrix directly
+    it = jax.lax.broadcasted_iota(jnp.int32, (hw, p), 0)
+    h_r = it // w
+    w_r = it - h_r * w
+    rowt = jnp.where(h_r == y0i[None, :], 1.0 - wy[None, :], 0.0) + jnp.where(
+        h_r == y0i[None, :] + 1, wy[None, :], 0.0)
+    colt = jnp.where(w_r == x0i[None, :], 1.0 - wx[None, :], 0.0) + jnp.where(
+        w_r == x0i[None, :] + 1, wx[None, :], 0.0)
+    df_ref[0] = jnp.dot(
+        rowt * colt, g, preferred_element_type=jnp.float32, precision=hi
+    ).astype(df_ref.dtype)
+
+    # coordinate grads
+    ii = jax.lax.broadcasted_iota(jnp.int32, (p, hw), 1)
+    h_i = ii // w
+    w_i = ii - h_i * w
+    y0c, x0c = y0i[:, None], x0i[:, None]
+    wyc, wxc = wy[:, None], wx[:, None]
+    rowv = jnp.where(h_i == y0c, 1.0 - wyc, 0.0) + jnp.where(
+        h_i == y0c + 1, wyc, 0.0)
+    colv = jnp.where(w_i == x0c, 1.0 - wxc, 0.0) + jnp.where(
+        w_i == x0c + 1, wxc, 0.0)
+    dcol = jnp.where(w_i == x0c + 1, 1.0, 0.0) - jnp.where(
+        w_i == x0c, 1.0, 0.0)
+    drow = jnp.where(h_i == y0c + 1, 1.0, 0.0) - jnp.where(
+        h_i == y0c, 1.0, 0.0)
+    gx = jnp.dot(rowv * dcol, f2d, preferred_element_type=jnp.float32,
+                 precision=hi)
+    gy = jnp.dot(drow * colv, f2d, preferred_element_type=jnp.float32,
+                 precision=hi)
+    dx = jnp.sum(g * gx, axis=1) * (sx * mx)
+    dy = jnp.sum(g * gy, axis=1) * (sy * my)
+    dpt_ref[0] = jnp.concatenate(
+        [dx[:, None], dy[:, None]], axis=1
+    ).astype(dpt_ref.dtype)
+
+
+def _bwd_vmem_groups(shapes, p_pad: int, feat_bytes: int) -> list:
+    """Greedy grouping for the backward launches: three (HW, P)-sized f32
+    matrices live at once plus the feature copy and grads."""
+    est = []
+    for (h, w, c) in shapes:
+        e = (
+            3 * 4 * h * w * p_pad
+            + h * w * c * (4 + feat_bytes)
+            + p_pad * c * 8
+        )
+        est.append(e)
+    groups, start, acc = [], 0, 0
+    for l, e in enumerate(est):
+        if l > start and acc + e > _VMEM_GROUP_BUDGET:
+            groups.append((start, l))
+            start, acc = l, 0
+        acc += e
+    groups.append((start, len(est)))
+    return groups
+
+
+def _bwd_kernel_multi(pts_ref, *rest, shapes, border, align_corners):
+    levels = len(shapes)
+    f_refs = rest[:levels]
+    g_refs = rest[levels:2 * levels]
+    df_refs = rest[2 * levels:3 * levels]
+    dpt_refs = rest[3 * levels:]
+    p_pad = pts_ref.shape[1] // levels
+
+    class _View:
+        def __init__(self, val):
+            self._v = val
+
+        def __getitem__(self, _):
+            return self._v
+
+    for l, (h, w, c) in enumerate(shapes):
+        pts = pts_ref[0, l * p_pad:(l + 1) * p_pad]
+        _sample_bwd_kernel(
+            _View(pts), f_refs[l], g_refs[l], df_refs[l], dpt_refs[l],
+            h=h, w=w, c=c, border=border, align_corners=align_corners,
+        )
+
+
+def _multi_bwd_pallas(features, points, grads, padding_mode, align_corners,
+                      interpret):
+    levels = len(features)
+    b = features[0].shape[0]
+    batch_shape = points.shape[2:-1]
+    pts = points.reshape(b, levels, -1, 2)
+    p = pts.shape[2]
+    p_pad = _round_up(max(p, 8), 8)
+    if p_pad != p:
+        pts = jnp.pad(pts, ((0, 0), (0, 0), (0, p_pad - p), (0, 0)))
+    pts2 = pts.reshape(b, levels * p_pad, 2)
+
+    shapes = tuple(f.shape[1:] for f in features)
+    groups = _bwd_vmem_groups(
+        shapes, p_pad, jnp.dtype(features[0].dtype).itemsize)
+
+    dfs, dpts = [], []
+    for lo, hi_ in groups:
+        gshapes = shapes[lo:hi_]
+        f_ins = [
+            f.reshape(b, h * w, c)
+            for f, (h, w, c) in zip(features[lo:hi_], gshapes)
+        ]
+        g_ins = []
+        for gl, (h, w, c) in zip(grads[lo:hi_], gshapes):
+            g2 = gl.reshape(b, p, c).astype(jnp.float32)
+            if p_pad != p:
+                g2 = jnp.pad(g2, ((0, 0), (0, p_pad - p), (0, 0)))
+            g_ins.append(g2)
+        pts_g = pts[:, lo:hi_].reshape(b, (hi_ - lo) * p_pad, 2)
+        n = hi_ - lo
+        kernel = functools.partial(
+            _bwd_kernel_multi, shapes=gshapes,
+            border=padding_mode == "border", align_corners=align_corners,
+        )
+        blk = lambda a: pl.BlockSpec(
+            (1,) + a.shape[1:], lambda i: (i,) + (0,) * (a.ndim - 1),
+            memory_space=pltpu.VMEM)
+        outs = pl.pallas_call(
+            kernel,
+            grid=(b,),
+            in_specs=[blk(pts_g)] + [blk(a) for a in f_ins]
+            + [blk(a) for a in g_ins],
+            out_specs=[
+                pl.BlockSpec((1, h * w, c), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+                for (h, w, c) in gshapes
+            ] + [
+                pl.BlockSpec((1, p_pad, 2), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+                for _ in gshapes
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, h * w, c), f.dtype)
+                for f, (h, w, c) in zip(features[lo:hi_], gshapes)
+            ] + [
+                jax.ShapeDtypeStruct((b, p_pad, 2), jnp.float32)
+                for _ in gshapes
+            ],
+            interpret=interpret,
+        )(pts_g, *f_ins, *g_ins)
+        dfs.extend(
+            o.reshape(b, h, w, c)
+            for o, (h, w, c) in zip(outs[:n], gshapes)
+        )
+        dpts.extend(outs[n:])
+
+    dpoints = jnp.stack([d[:, :p] for d in dpts], axis=1).reshape(
+        b, levels, *batch_shape, 2).astype(points.dtype)
+    return tuple(dfs), dpoints
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))

@@ -238,3 +238,40 @@ def test_split_groups_match_single_launch():
     for a, b in zip(single, split):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert g.shape == pts.shape and float(jnp.abs(g).sum()) > 0
+
+
+@pytest.mark.parametrize("mode", ["border", "zeros"])
+def test_pallas_backward_matches_reference_vjp(mode):
+    """The Pallas training backward (_multi_bwd_pallas: dF = M^T @ g on the
+    MXU + one-hot-difference coordinate grads) must match jax.vjp of the
+    gather formulation for features AND points, both padding modes,
+    including out-of-range points (clip-gradient masking)."""
+    from contextaware_poseformer_tpu.ops import deformable as D
+
+    rng = np.random.RandomState(7)
+    shapes = ((16, 12, 8), (8, 6, 16), (4, 4, 32))
+    feats = tuple(
+        jnp.asarray(rng.randn(2, h, w, c).astype(np.float32))
+        for h, w, c in shapes
+    )
+    pts = jnp.asarray(
+        rng.uniform(-1.2, 1.2, (2, 3, 17, 16, 2)).astype(np.float32))
+
+    def loss(fs, p):
+        o = D.sample_points_levels(
+            fs, p, padding_mode=mode, impl="fused_interpret")
+        return sum(jnp.sum(jnp.sin(x)) for x in o)
+
+    impl = D._BWD_IMPL
+    try:
+        D._BWD_IMPL = "reference"
+        gr = jax.grad(loss, argnums=(0, 1))(feats, pts)
+        D._BWD_IMPL = "pallas"
+        gp = jax.grad(loss, argnums=(0, 1))(feats, pts)
+    finally:
+        D._BWD_IMPL = impl
+    for a, b in zip(gr[0], gp[0]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(gr[1]), np.asarray(gp[1]), rtol=1e-5, atol=1e-5)

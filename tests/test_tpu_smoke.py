@@ -168,3 +168,44 @@ def test_grouped_attention_on_tpu(tpu):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
     )
+
+
+def test_sampler_backward_on_tpu(tpu):
+    """Pallas training backward for the fused sampler on real hardware."""
+    import jax
+    import jax.numpy as jnp
+
+    from contextaware_poseformer_tpu.ops import deformable as D
+
+    rng = np.random.RandomState(5)
+    shapes = ((16, 12, 32), (8, 8, 64))
+    feats = tuple(
+        jnp.asarray(rng.randn(2, h, w, c).astype(np.float32))
+        for h, w, c in shapes
+    )
+    pts = jnp.asarray(
+        rng.uniform(-1.1, 1.1, (2, 2, 17, 4, 2)).astype(np.float32))
+
+    def loss(fs, p):
+        o = D.sample_points_levels(
+            fs, p, padding_mode="border", impl="fused")
+        return sum(jnp.sum(jnp.sin(x)) for x in o)
+
+    gf, gp = jax.jit(jax.grad(loss, argnums=(0, 1)))(feats, pts)
+
+    def ref_loss(fs, p):
+        from contextaware_poseformer_tpu.ops import grid_sample
+
+        o = tuple(
+            grid_sample.grid_sample_points(
+                f, p[:, l], padding_mode="border")
+            for l, f in enumerate(fs)
+        )
+        return sum(jnp.sum(jnp.sin(x)) for x in o)
+
+    rf, rp = jax.jit(jax.grad(ref_loss, argnums=(0, 1)))(feats, pts)
+    for a, b in zip(gf, rf):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(gp), np.asarray(rp), rtol=2e-4, atol=2e-4)
