@@ -522,12 +522,13 @@ sample_points_multi.defvjp(_multi_fwd, _multi_bwd)
 _BWD_IMPL = "auto"
 
 
-def _sample_bwd_kernel(pts_ref, f_ref, g_ref, df_ref, dpt_ref, *, h, w, c,
-                       border, align_corners):
+def _sample_bwd_body(pts, f2d, g, *, h, w, c, border, align_corners):
+    """pts (P_pad, 2), f2d (HW, C), g (P_pad, C) -> (df (HW, C) f32,
+    dpt (P_pad, 2) f32). Value-in/value-out so the multi-level kernel can
+    slice its packed points block."""
     hi = jax.lax.Precision.HIGHEST
-    pts = pts_ref[0]  # (P_pad, 2)
-    f2d = f_ref[0].astype(jnp.float32)  # (HW, C)
-    g = g_ref[0].astype(jnp.float32)  # (P_pad, C)
+    f2d = f2d.astype(jnp.float32)
+    g = g.astype(jnp.float32)
     p = pts.shape[0]
     hw = h * w
 
@@ -569,9 +570,9 @@ def _sample_bwd_kernel(pts_ref, f_ref, g_ref, df_ref, dpt_ref, *, h, w, c,
         h_r == y0i[None, :] + 1, wy[None, :], 0.0)
     colt = jnp.where(w_r == x0i[None, :], 1.0 - wx[None, :], 0.0) + jnp.where(
         w_r == x0i[None, :] + 1, wx[None, :], 0.0)
-    df_ref[0] = jnp.dot(
+    df = jnp.dot(
         rowt * colt, g, preferred_element_type=jnp.float32, precision=hi
-    ).astype(df_ref.dtype)
+    )
 
     # coordinate grads
     ii = jax.lax.broadcasted_iota(jnp.int32, (p, hw), 1)
@@ -593,9 +594,7 @@ def _sample_bwd_kernel(pts_ref, f_ref, g_ref, df_ref, dpt_ref, *, h, w, c,
                  precision=hi)
     dx = jnp.sum(g * gx, axis=1) * (sx * mx)
     dy = jnp.sum(g * gy, axis=1) * (sy * my)
-    dpt_ref[0] = jnp.concatenate(
-        [dx[:, None], dy[:, None]], axis=1
-    ).astype(dpt_ref.dtype)
+    return df, jnp.concatenate([dx[:, None], dy[:, None]], axis=1)
 
 
 def _bwd_vmem_groups(shapes, p_pad: int, feat_bytes: int) -> list:
@@ -627,19 +626,14 @@ def _bwd_kernel_multi(pts_ref, *rest, shapes, border, align_corners):
     dpt_refs = rest[3 * levels:]
     p_pad = pts_ref.shape[1] // levels
 
-    class _View:
-        def __init__(self, val):
-            self._v = val
-
-        def __getitem__(self, _):
-            return self._v
-
     for l, (h, w, c) in enumerate(shapes):
         pts = pts_ref[0, l * p_pad:(l + 1) * p_pad]
-        _sample_bwd_kernel(
-            _View(pts), f_refs[l], g_refs[l], df_refs[l], dpt_refs[l],
+        df, dpt = _sample_bwd_body(
+            pts, f_refs[l][0], g_refs[l][0],
             h=h, w=w, c=c, border=border, align_corners=align_corners,
         )
+        df_refs[l][0] = df.astype(df_refs[l].dtype)
+        dpt_refs[l][0] = dpt.astype(dpt_refs[l].dtype)
 
 
 def _multi_bwd_pallas(features, points, grads, padding_mode, align_corners,
