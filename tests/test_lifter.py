@@ -184,3 +184,44 @@ def test_pre_project_matches_reference_order():
     )
     outf = np.asarray(mfused.apply(params, j(kp2d), j(ref), jf))
     np.testing.assert_allclose(outf, base, rtol=1e-5, atol=1e-6)
+
+
+def test_lifter_grads_with_pallas_sampler_backward():
+    """Full lifter backward with the Pallas sampler bwd (interpret) must
+    match the gather-VJP backward on every param grad — the training-path
+    integration check for ops/deformable._multi_bwd_pallas."""
+    from contextaware_poseformer_tpu.ops import deformable as D
+
+    rng = np.random.RandomState(5)
+    dims = (8, 16, 24, 40)
+    cfg = LifterConfig(
+        embed_dim_ratio=32, depth=1, levels=4, num_heads=8,
+        use_deformable=True, sampler="fused_interpret",
+    )
+    kp2d, ref, feats = _make_inputs(rng, dims=dims)
+    j = lambda a: jnp.asarray(a)  # noqa: E731
+    jf = [j(f) for f in feats]
+    model = PoseLifter(cfg=cfg, feature_dims=dims)
+    params = model.init(jax.random.PRNGKey(0), j(kp2d), j(ref), jf)
+    leaves, treedef = jax.tree.flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(9), len(leaves))
+    params = jax.tree.unflatten(
+        treedef,
+        [0.05 * jax.random.normal(k, l.shape, l.dtype)
+         for k, l in zip(keys, leaves)],
+    )
+
+    def loss(p):
+        return jnp.sum(model.apply(p, j(kp2d), j(ref), jf) ** 2)
+
+    impl = D._BWD_IMPL
+    try:
+        D._BWD_IMPL = "reference"
+        gr = jax.grad(loss)(params)
+        D._BWD_IMPL = "pallas"
+        gp = jax.grad(loss)(params)
+    finally:
+        D._BWD_IMPL = impl
+    for a, b in zip(jax.tree.leaves(gr), jax.tree.leaves(gp)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6)
