@@ -31,6 +31,43 @@ A100_PYTORCH_BASELINE_LIFTS_PER_SEC = 2000.0
 BATCH = 128
 BURSTS = 4
 ITERS_PER_BURST = 20
+BACKEND_PROBE_TIMEOUT_S = 300.0
+
+
+def _require_backend() -> None:
+    """Fail with ONE readable line (not a 50-frame traceback) when the TPU
+    backend is unreachable. Two observed failure modes through the axon
+    tunnel: a fast RuntimeError at init, and an indefinite hang — probe in a
+    daemon thread with a timeout to convert both into a diagnostic line."""
+    import os
+    import sys
+    import threading
+
+    import jax
+
+    result: dict = {}
+
+    def probe():
+        try:
+            result["devices"] = [str(d) for d in jax.devices()]
+        except Exception as e:  # noqa: BLE001 — report any init failure
+            result["error"] = f"{type(e).__name__}: {e}"
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(BACKEND_PROBE_TIMEOUT_S)
+    if t.is_alive():
+        result["error"] = (
+            f"backend init did not respond within {BACKEND_PROBE_TIMEOUT_S:.0f}s "
+            "(axon tunnel hang)"
+        )
+    if "error" in result:
+        print(f"bench.py: TPU backend unavailable — {result['error']}",
+              file=sys.stderr, flush=True)
+        sys.stderr.flush()
+        sys.stdout.flush()
+        # os._exit: the hung init thread can block normal interpreter exit
+        os._exit(1)
 
 
 def main(argv=None) -> None:
@@ -48,6 +85,9 @@ def main(argv=None) -> None:
     batch = args.batch
 
     import jax
+
+    _require_backend()
+
     import jax.numpy as jnp
 
     from contextaware_poseformer_tpu.config import deploy, preset

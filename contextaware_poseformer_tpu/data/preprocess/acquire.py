@@ -28,6 +28,7 @@ from __future__ import annotations
 import argparse
 import hashlib
 import os
+import shutil
 import tarfile
 import zipfile
 from typing import Callable, Mapping, Sequence
@@ -182,16 +183,27 @@ def _safe_members(tar: tarfile.TarFile):
 
 def extract_tgz_flat(tgz_path: str, dest_dir: str) -> None:
     """Extract regular files, stripping the members' common directory
-    prefix (extract_all.py:21-30 semantics), with traversal guards."""
+    prefix (extract_all.py:21-30 semantics), with traversal guards.
+
+    Extraction is atomic: files land in a sibling temp dir that is
+    os.replace'd into place on success, so a partially-extracted tree from
+    an interrupted run is never mistaken for a complete one (only a fully
+    extracted dest_dir short-circuits)."""
     if os.path.exists(dest_dir):
         return
+    tmp_dir = dest_dir.rstrip(os.sep) + ".extracting"
+    if os.path.exists(tmp_dir):
+        shutil.rmtree(tmp_dir)
     with tarfile.open(tgz_path, "r:gz") as tar:
         members = list(_safe_members(tar))
         dirs = [os.path.dirname(m.name).split(os.sep) for m in members]
         common = os.sep.join(os.path.commonprefix(sorted(dirs)))
         for m in members:
             m.name = os.path.relpath(m.name, common) if common else m.name
-        tar.extractall(dest_dir, members=members)
+        # members are pre-filtered above; filter="data" additionally strips
+        # setuid/device bits and is the forward-compatible Py3.14 default
+        tar.extractall(path=tmp_dir, members=members, filter="data")
+    os.replace(tmp_dir, dest_dir)
 
 
 def extract_h36m(archives_dir: str, out_dir: str,

@@ -304,6 +304,62 @@ def prepare_int8_weights(apply_fn, variables: dict, batch) -> dict:
     return {**variables, "qweights": upd.get("qweights", {})}
 
 
+def params_fingerprint(params) -> "np.ndarray":
+    """Cheap content fingerprint of a param tree (16 bytes, uint8).
+
+    sha256 over the tree structure + every leaf's shape/dtype, plus the raw
+    bytes of a small deterministic sample of leaves (the four smallest and
+    the first — small leaves are cheap to fetch from device and a new
+    checkpoint changes them along with everything else). A guard against
+    accidental params/qweights mixing, not a cryptographic seal: a targeted
+    edit of one unsampled kernel can evade it.
+    """
+    import hashlib
+
+    import numpy as np
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    h = hashlib.sha256()
+    for path, leaf in flat:
+        h.update(str(path).encode())
+        h.update(str(jnp.shape(leaf)).encode())
+        h.update(str(jnp.result_type(leaf)).encode())
+    sample = sorted(
+        flat,
+        key=lambda kv: (int(np.prod(jnp.shape(kv[1]), dtype=np.int64)),
+                        str(kv[0])),
+    )[:4]
+    if flat:
+        sample.append(flat[0])
+    for path, leaf in sample:
+        h.update(str(path).encode())
+        h.update(np.ascontiguousarray(jax.device_get(leaf)).tobytes())
+    return np.frombuffer(h.digest()[:16], dtype=np.uint8).copy()
+
+
+def check_serving_fresh(variables: dict) -> None:
+    """Raise if stored qweights/calib were prepared for a DIFFERENT params
+    tree than variables["params"] (the stale-kernel hazard: pre-quantized
+    kernels do not track later param changes — see prepare_int8_weights).
+    No-op for variables without serving collections or without the
+    fingerprint stamp (pre-stamp artifacts)."""
+    import numpy as np
+
+    stored = variables.get("qmeta", {}).get("params_fingerprint")
+    if stored is None or not variables.get("qweights"):
+        return
+    params = variables.get("params", {})
+    target = params.get("backbone", params)
+    now = params_fingerprint(target)
+    if not np.array_equal(np.asarray(stored), now):
+        raise ValueError(
+            "stale serving collections: the qweights/calib in `variables` "
+            "were prepared for a different params tree than "
+            'variables["params"]. Re-run models.prepare_serving() after any '
+            "backbone param change."
+        )
+
+
 def check_calibrated(variables: dict) -> None:
     """Raise if a quantize="static" model has unpopulated calibration scales
     (an uncalibrated static model silently computes garbage)."""

@@ -56,12 +56,19 @@ def prepare_serving(model, variables: dict, example_args, batches=None) -> dict:
     from contextaware_poseformer_tpu.models.backbone_common import (
         calibrate_quantization,
         check_calibrated,
+        check_serving_fresh,
+        params_fingerprint,
         prepare_int8_weights,
     )
 
     quant = model.cfg.backbone.quantize
     if quant == "none":
         return variables
+
+    # Fail loudly if the caller hands us stored qweights prepared for a
+    # DIFFERENT params tree (e.g. collections kept across a checkpoint
+    # reload) — silently regenerating would mask the mixing bug upstream.
+    check_serving_fresh(variables)
 
     # Materialize once up front: `batches` may be a generator, and it feeds
     # both the calibration pass and the weight-prep batch below.
@@ -78,6 +85,17 @@ def prepare_serving(model, variables: dict, example_args, batches=None) -> dict:
         variables = calibrate_quantization(apply_fn, variables, batches)
         check_calibrated(variables)
     variables = prepare_int8_weights(apply_fn, variables, batches[0])
+    # stamp the params identity the collections were derived from, so later
+    # check_serving_fresh() calls can detect params/qweights mixing
+    params = variables.get("params", {})
+    variables = {
+        **variables,
+        "qmeta": {
+            "params_fingerprint": params_fingerprint(
+                params.get("backbone", params)
+            )
+        },
+    }
     return variables
 
 

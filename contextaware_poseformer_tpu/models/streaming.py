@@ -66,8 +66,10 @@ class StreamingLifter:
 
         self._step = step
         self._ema: dict[int, np.ndarray] = {}
-        self._latencies_ms: list[float] = []
-        self._latency_frames = 0
+        # (ms, n_frames) pairs, trimmed together — frames_per_sec must be
+        # computed over the SAME window as the latency sum or it drifts
+        # upward without bound once the window trims
+        self._latencies: list[tuple[float, int]] = []
         # quantize="serve"/"static" needs calibrated activation scales before
         # the first lift — see prepare()
         self._needs_prepare = model_cfg.backbone.quantize in (
@@ -174,26 +176,24 @@ class StreamingLifter:
     # -- latency accounting ---------------------------------------------------
 
     def _record_latency(self, ms: float, n_frames: int) -> None:
-        self._latencies_ms.append(ms)
-        self._latency_frames += n_frames
-        if len(self._latencies_ms) > 4096:
-            del self._latencies_ms[: len(self._latencies_ms) - 4096]
+        self._latencies.append((ms, n_frames))
+        if len(self._latencies) > 4096:
+            del self._latencies[: len(self._latencies) - 4096]
 
     def latency_stats(self) -> dict[str, float]:
         """p50/p99 lift_batch wall latency (ms, host-observed: preprocess +
         H2D + device + D2H) over the recorded window, plus mean frames/sec."""
-        if not self._latencies_ms:
+        if not self._latencies:
             return {"n": 0}
-        lat = np.asarray(self._latencies_ms)
+        lat = np.asarray([ms for ms, _ in self._latencies])
+        frames = sum(n for _, n in self._latencies)
         return {
             "n": len(lat),
             "p50_ms": float(np.percentile(lat, 50)),
             "p90_ms": float(np.percentile(lat, 90)),
             "p99_ms": float(np.percentile(lat, 99)),
             "mean_ms": float(lat.mean()),
-            "frames_per_sec": float(
-                self._latency_frames / (lat.sum() / 1e3)
-            ),
+            "frames_per_sec": float(frames / (lat.sum() / 1e3)),
         }
 
     # -- stream interface ------------------------------------------------------

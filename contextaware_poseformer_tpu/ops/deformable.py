@@ -27,6 +27,7 @@ elsewhere the jnp gather formulation's VJP. See _multi_bwd_pallas.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -518,8 +519,13 @@ sample_points_multi.defvjp(_multi_fwd, _multi_bwd)
 # ---------------------------------------------------------------------------
 
 # "auto": pallas on real TPU, reference elsewhere; tests override to
-# "pallas" (with interpret=True) or "reference".
-_BWD_IMPL = "auto"
+# "pallas" (with interpret=True) or "reference". The env override
+# CAPF_SAMPLER_BWD={auto,pallas,reference} lets benches A/B without edits.
+# Default is "reference" until the Pallas backward has a passing run on
+# real hardware (tests/test_tpu_smoke.py + tools/train_bench.py) — it is
+# interpret-mode/CPU-verified only, and interpret mode does not model
+# scoped-VMEM limits or Mosaic's int32->bf16 rounding (PERF.md).
+_BWD_IMPL = os.environ.get("CAPF_SAMPLER_BWD", "reference")
 
 
 def _sample_bwd_body(pts, f2d, g, *, h, w, c, border, align_corners):
@@ -598,14 +604,22 @@ def _sample_bwd_body(pts, f2d, g, *, h, w, c, border, align_corners):
 
 
 def _bwd_vmem_groups(shapes, p_pad: int, feat_bytes: int) -> list:
-    """Greedy grouping for the backward launches: three (HW, P)-sized f32
-    matrices live at once plus the feature copy and grads."""
+    """Greedy grouping for the backward launches.
+
+    The per-level estimate mirrors _sample_bwd_body's PEAK live set, not
+    just its matmul operands: the coordinate-grad phase holds the (P, HW)
+    iota-derived index planes (h_i/w_i int32) plus the four one-hot mixes
+    (rowv/colv/dcol/drow f32) plus one product operand at once — eight
+    (HW, P)-sized 4-byte planes is the conservative roof (unrolled bodies
+    keep live ranges; see the 2x-obvious-size lesson in PERF.md). On top:
+    the f32 feature copy AND the df f32 output (h*w*c*8) plus the raw
+    feature block, and three (P, C) f32 planes (g, gx, gy)."""
     est = []
     for (h, w, c) in shapes:
         e = (
-            3 * 4 * h * w * p_pad
-            + h * w * c * (4 + feat_bytes)
-            + p_pad * c * 8
+            8 * 4 * h * w * p_pad
+            + h * w * c * (8 + feat_bytes)
+            + p_pad * c * 12
         )
         est.append(e)
     groups, start, acc = [], 0, 0

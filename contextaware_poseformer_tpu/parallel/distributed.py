@@ -96,6 +96,21 @@ def allgather_hosts(local: "np.ndarray") -> "np.ndarray":
     return np.concatenate(parts, axis=0)
 
 
+def broadcast_pytree(tree):
+    """Process 0's pytree to every process (host-side values). Single
+    process: identity. Every process must call this with a tree of the SAME
+    structure/shapes (e.g. each computed its own candidate locally); the
+    returned leaves are process 0's, as host numpy arrays."""
+    if jax.process_count() == 1:
+        return tree
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    host_tree = jax.tree.map(np.asarray, tree)
+    out = multihost_utils.broadcast_one_to_all(host_tree)
+    return jax.tree.map(np.asarray, out)
+
+
 def put_batch(batch, sharding):
     """Batch -> global device array under `sharding` (leading-axis data
     sharding). Single-process: plain device_put. Multi-process: each host

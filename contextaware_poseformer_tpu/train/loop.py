@@ -119,7 +119,10 @@ class Trainer:
         # instead of silently mixing new float params with stale
         # qweights/calib scales.
         self._needs_serving = cfg.model.backbone.quantize in ("serve", "static")
-        self._serving_params_key = None
+        # strong reference to the calibrated params tree: identity (`is`)
+        # comparison is only sound while the tree is alive — id() alone can
+        # be recycled by CPython after a gc, silently skipping recalibration
+        self._serving_params = None
 
     @property
     def _train_step(self):
@@ -199,8 +202,7 @@ class Trainer:
         (incl. Trainer3dhp's). Re-runs whenever a DIFFERENT params tree is
         evaluated — the pre-quantized kernels and activation scales are
         derived from the params and must not outlive them."""
-        key = id(params)
-        if not self._needs_serving or self._serving_params_key == key:
+        if not self._needs_serving or self._serving_params is params:
             return
         from contextaware_poseformer_tpu.data import augment
         from contextaware_poseformer_tpu.models import prepare_serving
@@ -227,10 +229,15 @@ class Trainer:
             self.model, {"params": params}, batches[0], batches=batches
         )
         extra = {k: val for k, val in v.items() if k != "params"}
+        # multi-host: each process calibrated from its OWN val shard above;
+        # using per-rank scales would make gathered eval predictions
+        # rank-count-dependent. Broadcast process 0's calib/qweights so every
+        # rank serves the identical quantized model.
+        extra = distributed.broadcast_pytree(extra)
         self._eval_step = jax.jit(
             steps.make_eval_step(self.model, self.cfg, extra)
         )
-        self._serving_params_key = key
+        self._serving_params = params
 
     def evaluate(self, params, max_batches: int | None = None) -> dict[str, float]:
         self._ensure_serving_ready(params)

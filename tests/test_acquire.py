@@ -183,3 +183,29 @@ def test_cli_mpi3dhp_subject_parsing(tmp_path, monkeypatch):
     assert seen == {"subjects": [2, 3, 4], "masks": True}
     acquire.main(["mpi3dhp", "--dest", str(tmp_path), "--subjects", "1,7"])
     assert seen["subjects"] == [1, 7]
+
+
+def test_extract_atomic_repairs_interrupted_run(tmp_path):
+    """A leftover temp dir from an interrupted extraction must be discarded
+    and re-extracted; extraction is DeprecationWarning-free (extractall gets
+    an explicit filter=) and only a COMPLETE dest_dir short-circuits."""
+    import warnings
+
+    tgz = tmp_path / "a.tgz"
+    _make_tgz(tgz, [("top/S1/f1.cdf", b"one"), ("top/S1/f2.cdf", b"two")])
+    out = tmp_path / "out"
+
+    # simulate an interrupted earlier run: junk in the in-progress temp dir,
+    # dest absent
+    tmp_leftover = tmp_path / "out.extracting"
+    tmp_leftover.mkdir()
+    (tmp_leftover / "partial.cdf").write_bytes(b"junk")
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", DeprecationWarning)
+        acquire.extract_tgz_flat(str(tgz), str(out))
+
+    assert (out / "f1.cdf").read_bytes() == b"one"
+    assert (out / "f2.cdf").read_bytes() == b"two"
+    assert not (out / "partial.cdf").exists()
+    assert not tmp_leftover.exists()

@@ -132,3 +132,53 @@ def test_composite_bf16_deploy_path():
         np.asarray(out16), np.asarray(out32), rtol=0.1, atol=0.02
     )
 
+
+@pytest.mark.slow
+def test_prepare_serving_stale_qweights_guard():
+    """prepare_serving stamps a params fingerprint (qmeta) and fails loudly
+    when handed stored qweights prepared for a DIFFERENT params tree
+    (VERDICT r2 item 7: the stale-kernel hazard of prepare_int8_weights)."""
+    import dataclasses
+
+    from contextaware_poseformer_tpu.models import prepare_serving
+    from contextaware_poseformer_tpu.models.backbone_common import (
+        check_serving_fresh,
+    )
+
+    cfg = small_model_cfg()
+    cfg = dataclasses.replace(
+        cfg,
+        backbone=dataclasses.replace(cfg.backbone, quantize="static"),
+        lifter=dataclasses.replace(cfg.lifter, sampler="gather"),
+    )
+    model = ContextAwarePoseFormer(cfg=cfg)
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+    kp = jnp.asarray(rng.uniform(-1, 1, (2, 17, 2)).astype(np.float32))
+    kpc = jnp.asarray(rng.uniform(0, 64, (2, 17, 2)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), imgs, kp, kpc)
+
+    prepared = prepare_serving(model, variables, (imgs, kp, kpc))
+    assert prepared.get("qweights"), "static tiny cfg should quantize convs"
+    assert "params_fingerprint" in prepared["qmeta"]
+
+    # the extra qmeta collection must not break model application
+    out = model.apply(prepared, imgs, kp, kpc)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # same params: re-preparing with the stored collections is fine
+    check_serving_fresh(prepared)
+    prepare_serving(model, prepared, (imgs, kp, kpc))
+
+    # different params under the SAME stored qweights: loud failure
+    new_params = {
+        **prepared["params"],
+        "backbone": jax.tree.map(
+            lambda x: x * 1.01, prepared["params"]["backbone"]
+        ),
+    }
+    stale = {**prepared, "params": new_params}
+    with pytest.raises(ValueError, match="stale serving"):
+        check_serving_fresh(stale)
+    with pytest.raises(ValueError, match="stale serving"):
+        prepare_serving(model, stale, (imgs, kp, kpc))

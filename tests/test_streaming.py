@@ -109,3 +109,19 @@ def test_streaming_serve_mode_requires_and_uses_prepare():
     # int8 layer1 noise stays small relative to the output scale
     scale = np.abs(ref).mean() + 1e-9
     assert np.abs(out - ref).max() / scale < 0.5
+
+
+def test_latency_stats_windowed_frames():
+    """frames_per_sec must be computed over the SAME trimmed window as the
+    latency percentiles (ADVICE r2): after >4096 recorded batches the
+    all-time frame count must not inflate throughput."""
+    cfg, params = _setup()
+    sl = StreamingLifter(cfg, params,
+                         StreamingConfig(batch_size=4, use_bf16=False))
+    # 5000 batches of 4 frames at exactly 10 ms each -> 400 frames/sec
+    for _ in range(5000):
+        sl._record_latency(10.0, 4)
+    stats = sl.latency_stats()
+    assert stats["n"] == 4096
+    np.testing.assert_allclose(stats["frames_per_sec"], 400.0, rtol=1e-6)
+    np.testing.assert_allclose(stats["p50_ms"], 10.0, rtol=1e-6)
