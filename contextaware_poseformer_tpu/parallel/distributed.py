@@ -96,6 +96,28 @@ def allgather_hosts(local: "np.ndarray") -> "np.ndarray":
     return np.concatenate(parts, axis=0)
 
 
+def put_global_batch(batch, sharding):
+    """Place a batch every process holds IN FULL (same-seed synthetic data,
+    or a broadcast result) under an arbitrary global sharding.
+
+    Unlike put_batch (each process contributes only its own rows, valid when
+    the leading-axis shards are process-aligned), this works for shardings
+    where a process addresses non-contiguous or partial rows — e.g. a
+    tensor-parallel mesh whose 'model' axis spans hosts, which leaves every
+    process addressing a slice of every batch shard."""
+    if jax.process_count() == 1:
+        return jax.device_put(batch, sharding)
+    import numpy as np
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(
+            x.shape, sharding, lambda idx: x[idx]
+        )
+
+    return jax.tree.map(put, batch)
+
+
 def broadcast_pytree(tree):
     """Process 0's pytree to every process (host-side values). Single
     process: identity. Every process must call this with a tree of the SAME

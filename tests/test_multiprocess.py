@@ -30,13 +30,15 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _spawn(args: list[str], port: int, pid: int, n: int):
+def _spawn(args: list[str], port: int, pid: int, n: int,
+           devices: int = 2, extra: list[str] | None = None):
     env = dict(os.environ)
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={devices}"
     env.pop("JAX_PLATFORMS", None)
     env["CAPF_MP_TEST"] = "1"
     return subprocess.Popen(
-        [sys.executable, *args, str(pid), str(n), str(port)],
+        [sys.executable, *args, str(pid), str(n), str(port),
+         *(extra or [])],
         env=env, cwd=REPO, stdout=subprocess.PIPE,
         stderr=subprocess.STDOUT, text=True,
     )
@@ -68,6 +70,42 @@ def test_graft_entry_mp_worker():
     outs = _run_all(workers)
     for i, out in enumerate(outs):
         assert f"mp_worker {i} OK" in out, out[-2000:]
+
+
+def test_graft_entry_mp_worker_4process():
+    """dp=4 across FOUR processes (1 device each): the gather/trim and
+    grad-allreduce paths at a world size the 2-process test can't hit."""
+    port = _free_port()
+    workers = [
+        _spawn([os.path.join(REPO, "__graft_entry__.py"), "mp_worker"],
+               port, i, 4, devices=1)
+        for i in range(4)
+    ]
+    outs = _run_all(workers, timeout=1500)
+    for i, out in enumerate(outs):
+        assert f"mp_worker {i} OK" in out, out[-2000:]
+
+
+def test_graft_entry_mp_worker_tp2_across_hosts():
+    """Tensor-parallel collectives CROSSING the process (host) boundary:
+    2 processes x 2 devices, mesh model axis laid across processes — the
+    Megatron lifter psum/allgathers ride the inter-process (DCN-analog)
+    path the dp-only tests never exercise. Both processes must compute the
+    identical loss on the identical global batch."""
+    port = _free_port()
+    workers = [
+        _spawn([os.path.join(REPO, "__graft_entry__.py"), "mp_worker"],
+               port, i, 2, devices=2, extra=["2"])
+        for i in range(2)
+    ]
+    outs = _run_all(workers)
+    losses = []
+    for i, out in enumerate(outs):
+        assert f"mp_worker {i} OK" in out, out[-2000:]
+        assert "tp=2 across hosts" in out, out[-2000:]
+        line = [l for l in out.splitlines() if f"mp_worker {i} OK" in l][0]
+        losses.append(float(line.rsplit("loss=", 1)[1]))
+    assert losses[0] == pytest.approx(losses[1], abs=1e-9), losses
 
 
 def test_trainer_multiprocess_eval_consistency():
