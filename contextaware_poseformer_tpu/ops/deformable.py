@@ -129,10 +129,12 @@ def _sample_body_xy(xn, yn, f2d, *, h, w, c, border, align_corners,
                           preferred_element_type=jnp.float32, precision=hi)
         else:
             g = jnp.dot(rowv.astype(jnp.bfloat16), f2d.astype(jnp.bfloat16),
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.DEFAULT)
             out = jnp.dot((g * colv_exp).astype(jnp.bfloat16),
                           sel.astype(jnp.bfloat16),
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.DEFAULT)
         return out.astype(out_dtype)
 
     iota_hw = jax.lax.broadcasted_iota(jnp.int32, (p, h * w), 1)
@@ -150,7 +152,8 @@ def _sample_body_xy(xn, yn, f2d, *, h, w, c, border, align_corners,
                       preferred_element_type=jnp.float32, precision=hi)
     else:
         out = jnp.dot(m.astype(jnp.bfloat16), f2d.astype(jnp.bfloat16),
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.DEFAULT)
     return out.astype(out_dtype)
 
 
@@ -345,7 +348,8 @@ def _sample_multi_kernel(pts_ref, *rest, shapes, proj_dims, border,
             else:
                 f2d = jnp.dot(f2d.astype(jnp.bfloat16),
                               wp.astype(jnp.bfloat16),
-                              preferred_element_type=jnp.float32) + bp
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.DEFAULT) + bp
             c_out = proj_dims[l]
             two_stage = False
         out_refs[l][0] = _sample_body(
@@ -823,7 +827,8 @@ def _aggregate_multi_kernel(pts_ref, wt_ref, *rest, shapes, hd, ns, border,
                            preferred_element_type=jnp.float32, precision=hi)
         else:
             proj = jnp.dot(raw.astype(jnp.bfloat16), wl.astype(jnp.bfloat16),
-                           preferred_element_type=jnp.float32)
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.DEFAULT)
         proj = proj + bl.astype(jnp.float32)
         wcol = wt_ref[0, l * p_pad:(l + 1) * p_pad].astype(jnp.float32)
         wp = proj * wcol  # (P, 1) lane-broadcast over hd

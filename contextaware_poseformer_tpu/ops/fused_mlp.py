@@ -86,14 +86,16 @@ def _kernel(x_ref, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
                     preferred_element_type=jnp.float32, precision=hi)
     else:
         a = jnp.dot(h.astype(jnp.bfloat16), w1_ref[...].astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT)
     g = _gelu_exact(a + b1_ref[...].astype(jnp.float32))
     if precision == "highest":
         o = jnp.dot(g, w2_ref[...].astype(jnp.float32),
                     preferred_element_type=jnp.float32, precision=hi)
     else:
         o = jnp.dot(g.astype(jnp.bfloat16), w2_ref[...].astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT)
     o = o + b2_ref[...].astype(jnp.float32)
     out_ref[...] = (x + o).astype(out_ref.dtype)
 

@@ -49,6 +49,12 @@ def attention_middle_reference(qkv, num_heads):
 
 def _kernel(qkv_ref, out_ref, *, n, d, num_heads):
     blk = qkv_ref[...]  # (GROUP*SEG, 3D)
+    # pin contract precision for low-precision operands: the ambient
+    # jax_default_matmul_precision must not leak into the kernel (Mosaic
+    # rejects bf16 operands with an fp32 contract request; observed on
+    # hardware via conftest's global "highest", round-3 smoke run)
+    prec = (jax.lax.Precision.DEFAULT
+            if blk.dtype == jnp.bfloat16 else None)
     rows = blk.shape[0]
     hd = d // num_heads
     scale = hd**-0.5
@@ -66,14 +72,15 @@ def _kernel(qkv_ref, out_ref, *, n, d, num_heads):
         v = blk[:, 2 * d + h * hd:2 * d + (h + 1) * hd]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=prec,
         ) * scale
         s = jnp.where(mask, s, neg)
         m = jnp.max(s, axis=1, keepdims=True)
         e = jnp.exp(s - m)
         a = e / jnp.sum(e, axis=1, keepdims=True)
         outs.append(jnp.dot(
-            a.astype(v.dtype), v, preferred_element_type=jnp.float32
+            a.astype(v.dtype), v, preferred_element_type=jnp.float32,
+            precision=prec,
         ))
     out_ref[...] = jnp.concatenate(outs, axis=1).astype(out_ref.dtype)
 

@@ -73,7 +73,8 @@ def _kernel(
         rq1, rq2, rqo = sca[1 + i], sca[5 + i], sca[9 + i]
         # conv1 1x1 -> t1 (m, 64)
         wk = w1_0[...] if i == 0 else w1_r[i - 1]
-        acc = jnp.dot(xq, wk, preferred_element_type=jnp.int32)
+        acc = jnp.dot(xq, wk, preferred_element_type=jnp.int32,
+                      precision=jax.lax.Precision.DEFAULT)
         y1 = jnp.maximum(acc.astype(jnp.bfloat16) * s1[i] + b1[i], 0)
 
         # conv2 3x3 via dx-window + 3 dy-band matmuls
@@ -85,19 +86,24 @@ def _kernel(
         up_op = pltpu.bitcast(pltpu.roll(x32, w // 4, 0), jnp.int8)
         dn_op = pltpu.bitcast(
             pltpu.roll(x32, x32.shape[0] - w // 4, 0), jnp.int8)
-        acc = jnp.dot(xw, w2[i, 1], preferred_element_type=jnp.int32)
+        acc = jnp.dot(xw, w2[i, 1], preferred_element_type=jnp.int32,
+                      precision=jax.lax.Precision.DEFAULT)
         acc += jnp.where(
-            top, 0, jnp.dot(up_op, w2[i, 0], preferred_element_type=jnp.int32))
+            top, 0, jnp.dot(up_op, w2[i, 0], preferred_element_type=jnp.int32,
+                      precision=jax.lax.Precision.DEFAULT))
         acc += jnp.where(
-            bot, 0, jnp.dot(dn_op, w2[i, 2], preferred_element_type=jnp.int32))
+            bot, 0, jnp.dot(dn_op, w2[i, 2], preferred_element_type=jnp.int32,
+                      precision=jax.lax.Precision.DEFAULT))
         y2 = jnp.maximum(acc.astype(jnp.bfloat16) * s2[i] + b2[i], 0)
         t2q = _quant(y2.astype(jnp.float32), rq2)
 
         # conv3 1x1 -> (m, 256), residual add, relu, requant
-        acc = jnp.dot(t2q, w3[i], preferred_element_type=jnp.int32)
+        acc = jnp.dot(t2q, w3[i], preferred_element_type=jnp.int32,
+                      precision=jax.lax.Precision.DEFAULT)
         y3 = acc.astype(jnp.bfloat16) * s3[i] + b3[i]
         if i == 0:
-            accd = jnp.dot(xq0, wds[...], preferred_element_type=jnp.int32)
+            accd = jnp.dot(xq0, wds[...], preferred_element_type=jnp.int32,
+                      precision=jax.lax.Precision.DEFAULT)
             res = accd.astype(jnp.bfloat16) * sds[0] + bds[0]
         else:
             res = xq.astype(jnp.bfloat16) * sca[13 + i].astype(jnp.bfloat16)

@@ -64,6 +64,9 @@ def _attn_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, out_ref,
     bproj = bproj_ref[...]  # (1, D)
     hd = d // num_heads
     scale = hd**-0.5
+    # ambient-precision leak guard: see joint_attention._kernel
+    prec = (jax.lax.Precision.DEFAULT
+            if x.dtype == jnp.bfloat16 else None)
 
     # block one-hot per-head reducer G[d, h] = (d // hd == h)
     gi = jax.lax.broadcasted_iota(jnp.int32, (d, num_heads), 0) // hd
@@ -75,7 +78,8 @@ def _attn_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, out_ref,
     for i in range(n):
         xi = x[:, i * d:(i + 1) * d]
         qkv.append(
-            jnp.dot(xi, wqkv, preferred_element_type=jnp.float32) + bqkv
+            jnp.dot(xi, wqkv, preferred_element_type=jnp.float32,
+                    precision=prec) + bqkv
         )  # (RB, 3D) f32
 
     outs = []
@@ -103,7 +107,8 @@ def _attn_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, out_ref,
                          preferred_element_type=jnp.float32)  # (RB, D)
             acc = acc + aw * vj
         o = jnp.dot(acc.astype(wproj.dtype), wproj,
-                    preferred_element_type=jnp.float32) + bproj
+                    preferred_element_type=jnp.float32,
+                    precision=prec) + bproj
         outs.append(o)
     out_ref[...] = jnp.concatenate(outs, axis=1).astype(out_ref.dtype)
 

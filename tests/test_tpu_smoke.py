@@ -145,11 +145,20 @@ def test_fused_mlp_on_tpu(tpu):
     k2 = jnp.asarray(rng.randn(hidden, d).astype(np.float32) * 0.05)
     b2 = jnp.asarray(rng.randn(d).astype(np.float32) * 0.01)
 
-    got = jax.jit(fm.ln_mlp_residual)(x, ls, lb, k1, b1, k2, b2)
-    want = fm.ln_mlp_reference(x, ls, lb, k1, b1, k2, b2, 1e-6)
-    np.testing.assert_allclose(
-        np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3
-    )
+    # conftest pins jax_default_matmul_precision=highest, so the jnp
+    # reference computes fp32-exact here. The kernel's "highest" branch
+    # must match it tightly; the "default" (bf16 MXU) branch only to the
+    # bf16 envelope (measured 3.7e-3 max abs at this shape on hardware —
+    # that gap is fp32-vs-bf16, not a kernel defect).
+    want = np.asarray(fm.ln_mlp_reference(x, ls, lb, k1, b1, k2, b2, 1e-6))
+    got_hi = jax.jit(
+        lambda *a: fm.ln_mlp_residual(*a, precision="highest")
+    )(x, ls, lb, k1, b1, k2, b2)
+    np.testing.assert_allclose(np.asarray(got_hi), want, rtol=2e-5, atol=2e-5)
+    got_bf = jax.jit(
+        lambda *a: fm.ln_mlp_residual(*a, precision="default")
+    )(x, ls, lb, k1, b1, k2, b2)
+    np.testing.assert_allclose(np.asarray(got_bf), want, rtol=2e-2, atol=1e-2)
 
 
 def test_grouped_attention_on_tpu(tpu):
@@ -170,13 +179,17 @@ def test_grouped_attention_on_tpu(tpu):
     )
 
 
-def test_sampler_backward_on_tpu(tpu):
-    """Pallas training backward for the fused sampler on real hardware."""
+def test_sampler_backward_on_tpu(tpu, monkeypatch):
+    """Pallas training backward for the fused sampler on real hardware.
+
+    _BWD_IMPL defaults to "reference" until the kernel is hardware-proven,
+    so force the Pallas path here — this test IS the hardware proof."""
     import jax
     import jax.numpy as jnp
 
     from contextaware_poseformer_tpu.ops import deformable as D
 
+    monkeypatch.setattr(D, "_BWD_IMPL", "pallas")
     rng = np.random.RandomState(5)
     shapes = ((16, 12, 32), (8, 8, 64))
     feats = tuple(
