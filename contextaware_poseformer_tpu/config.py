@@ -70,6 +70,23 @@ class BackboneConfig:
     # matmul floor at these K=64/N=64 shapes is 2.35 ms vs XLA's 2.25 ms
     # full chain) — kept as an opt-in negative-result artifact.
     layer1_impl: str = "xla"
+    # CPN only: skip the refineNet output upsamples and hand the lifter the
+    # native-resolution pyramid (/32../4) instead of four /4 maps
+    # (refineNet.py:72-88 materializes all levels at /4 before sampling).
+    # Bilinear-sampling an align-corners-upsampled map with border padding
+    # equals sampling the native map at the same NORMALIZED coordinates
+    # except inside fine cells that straddle a coarse-grid crease (the /4
+    # grid is not an integer refinement of /8 and /16 under align_corners:
+    # 63/31 and 63/15 are non-integer), where the upsampled surface is
+    # chord-smoothed. The deviation is a measured-accuracy deployment
+    # trade (tools/deploy_numerics.py), like calib_quantile — NOT bit
+    # parity; default False keeps the reference graph. Perf: removes 3
+    # upsample matmul chains and ~4x/16x/64x of per-level sampler HBM
+    # traffic (PERF.md CPN budget).
+    cpn_native_pyramid: bool = False
+    # CPN ResNet stage depths (torchvision resnet50 = (3, 4, 6, 3)); only
+    # shrunk by tests/accuracy probes — checkpoints require the default.
+    cpn_layers: tuple[int, ...] = (3, 4, 6, 3)
     stage2: HRNetStageConfig = HRNetStageConfig(1, 2, (4, 4), (32, 64))
     stage3: HRNetStageConfig = HRNetStageConfig(4, 3, (4, 4, 4), (32, 64, 128))
     stage4: HRNetStageConfig = HRNetStageConfig(
@@ -86,6 +103,8 @@ class BackboneConfig:
     @property
     def feature_strides(self) -> tuple[int, ...]:
         if self.kind == "cpn":
+            if self.cpn_native_pyramid:
+                return (32, 16, 8, 4)  # deepest first (refine_fms order)
             return (4, 4, 4, 4)
         return (4, 8, 16, 32)
 

@@ -87,7 +87,7 @@ class CPN(nn.Module):
 
         feats = []  # [x1 /4, x2 /8, x3 /16, x4 /32]
         planes = (64, 128, 256, 512)
-        for li, (p, blocks) in enumerate(zip(planes, RESNET50_LAYERS)):
+        for li, (p, blocks) in enumerate(zip(planes, self.cfg.cpn_layers)):
             stride = 1 if li == 0 else 2
             x = self._resnet_bottleneck(
                 x, f"resnet.layer{li + 1}.0", p, stride, downsample=True
@@ -123,6 +123,13 @@ class CPN(nn.Module):
             y = global_fms[i]
             for k in range(4 - i - 1):
                 y = self._refine_bottleneck(y, f"refine_net.cascade.{i}.{k}")
-            y = resize_bilinear_align_corners(y, out_hw)
+            if not self.cfg.cpn_native_pyramid:
+                # reference: every level materialized at /4 before the
+                # lifter samples it (refineNet.py:72-88). The native-pyramid
+                # deployment knob skips this — the deformable sampler
+                # unnormalizes per-level with align_corners and samples the
+                # coarse map directly (config.BackboneConfig docstring for
+                # the equivalence analysis / accuracy protocol).
+                y = resize_bilinear_align_corners(y, out_hw)
             refine_fms.append(y)
         return refine_fms

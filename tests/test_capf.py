@@ -182,3 +182,48 @@ def test_prepare_serving_stale_qweights_guard():
         check_serving_fresh(stale)
     with pytest.raises(ValueError, match="stale serving"):
         prepare_serving(model, stale, (imgs, kp, kpc))
+
+
+@pytest.mark.slow
+def test_cpn_native_pyramid_composite_closeness():
+    """cpn_native_pyramid end to end: same params, the lifter samples the
+    native /32../4 pyramid instead of the /4-materialized one. Deviation
+    exists only inside fine cells straddling a coarse-grid crease
+    (config.BackboneConfig docstring); bound it here on random weights so a
+    regression in the coordinate convention (per-level align-corners
+    unnormalize) shows up as a large error, while the genuine crease
+    smoothing stays small."""
+    import dataclasses
+
+    from contextaware_poseformer_tpu.config import (
+        Config, DataConfig, LifterConfig, ModelConfig, TrainConfig,
+        cpn_backbone,
+    )
+
+    def mk(native):
+        return ModelConfig(
+            backbone=dataclasses.replace(
+                cpn_backbone(), cpn_native_pyramid=native
+            ),
+            lifter=LifterConfig(embed_dim_ratio=32, depth=1, levels=4),
+            image_shape=(64, 64),
+        )
+
+    rng = np.random.RandomState(5)
+    imgs = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+    kp = jnp.asarray(rng.uniform(-1, 1, (2, 17, 2)).astype(np.float32))
+    kpc = jnp.asarray(rng.uniform(0, 64, (2, 17, 2)).astype(np.float32))
+
+    m_ref = ContextAwarePoseFormer(cfg=mk(False))
+    params = m_ref.init(jax.random.PRNGKey(0), imgs, kp, kpc)
+    out_ref = np.asarray(m_ref.apply(params, imgs, kp, kpc))
+
+    m_nat = ContextAwarePoseFormer(cfg=mk(True))
+    out_nat = np.asarray(m_nat.apply(params, imgs, kp, kpc))
+
+    scale = np.sqrt(np.mean(out_ref**2))
+    rel = np.abs(out_nat - out_ref) / scale
+    # coordinate-convention bugs produce rel ~O(1); crease smoothing on
+    # random weights measured well under this bound
+    assert rel.max() < 0.2, rel.max()
+    assert rel.mean() < 0.02, rel.mean()

@@ -106,3 +106,29 @@ def test_cpn_serve_prepare_with_no_static_convs():
     out = model.apply(v, imgs, kp, kpc)
     assert out.shape == (2, 17, 3)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+@pytest.mark.slow
+def test_native_pyramid_backbone_equivalence():
+    """cpn_native_pyramid returns the SAME refine maps pre-resize: upsampling
+    the native pyramid with the reference resize reproduces the default
+    graph bit-for-bit (the knob only moves the resize out of the backbone)."""
+    import dataclasses
+
+    cfg_r = cpn_backbone()
+    cfg_n = dataclasses.replace(cfg_r, cpn_native_pyramid=True)
+    assert cfg_n.feature_strides == (32, 16, 8, 4)
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    model_r, model_n = CPN(cfg=cfg_r), CPN(cfg=cfg_n)
+    params = model_r.init(jax.random.PRNGKey(0), x)
+    fr = model_r.apply(params, x)
+    fn = model_n.apply(params, x)
+
+    assert [f.shape[1:3] for f in fn] == [(2, 2), (4, 4), (8, 8), (16, 16)]
+    for i in range(4):
+        up = resize_bilinear_align_corners(fn[i], (16, 16))
+        np.testing.assert_allclose(
+            np.asarray(up), np.asarray(fr[i]), rtol=1e-6, atol=1e-6
+        )

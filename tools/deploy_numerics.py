@@ -177,12 +177,94 @@ def trained_ab(steps_n: int = 250):
           f"delta vs fp32 {p1s - p1:+.3f} mm")
 
 
+def trained_cpn_ab(steps_n: int = 250):
+    """P1 delta of cpn_native_pyramid on a trained tiny-CPN model.
+
+    The knob's only numeric effect is the sampler reading the native /32../4
+    pyramid instead of the /4-materialized maps (crease smoothing, see
+    config.BackboneConfig); a tiny cpn_layers=(1,1,1,1) backbone keeps the
+    same sampler geometry (4 levels, same strides) at CPU-trainable cost.
+    """
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from contextaware_poseformer_tpu import config as cfglib
+    from contextaware_poseformer_tpu.config import LifterConfig
+    from contextaware_poseformer_tpu.data.synthetic import SyntheticPoseDataset
+    from contextaware_poseformer_tpu.models import ContextAwarePoseFormer
+    from contextaware_poseformer_tpu.train import steps
+
+    cfg = cfglib.preset("h36m_cpn")
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model,
+            backbone=dataclasses.replace(
+                cfg.model.backbone, cpn_layers=(1, 1, 1, 1)
+            ),
+            lifter=LifterConfig(embed_dim_ratio=32, depth=2, levels=4),
+            image_shape=(64, 64),
+        ),
+        train=dataclasses.replace(cfg.train, batch_size=16),
+    )
+
+    train_ds = SyntheticPoseDataset(size=128, image_shape=(64, 64), seed=0)
+    val_ds = SyntheticPoseDataset(size=64, image_shape=(64, 64), seed=99)
+    model = ContextAwarePoseFormer(cfg=cfg.model)
+    opt = steps.make_optimizer(cfg, steps_per_epoch=100)
+    train_step = jax.jit(steps.make_train_step(model, cfg, opt))
+
+    def batch_of(ds, idx):
+        return steps.RawBatch(
+            jnp.asarray(ds._images[idx]), jnp.asarray(ds.joints_3d[idx]),
+            jnp.asarray(ds.joints_2d[idx]),
+            jnp.asarray(ds.joints_2d_crop[idx]),
+        )
+
+    rng = np.random.RandomState(0)
+    state = steps.init_state(model, cfg, opt, jax.random.PRNGKey(0),
+                             batch_of(train_ds, np.arange(16)))
+    key = jax.random.PRNGKey(1)
+    for _ in range(steps_n):
+        idx = rng.randint(0, len(train_ds), 16)
+        state, aux = train_step(state, batch_of(train_ds, idx), key)
+    print(f"[cpn] trained {steps_n} steps, final loss {float(aux['loss']):.4f}")
+
+    def eval_p1(model_cfg):
+        m = ContextAwarePoseFormer(cfg=model_cfg)
+        estep = jax.jit(steps.make_eval_step(
+            m, dataclasses.replace(cfg, model=model_cfg)))
+        errs = []
+        for s in range(0, len(val_ds), 16):
+            idx = np.arange(s, min(s + 16, len(val_ds)))
+            pred, gt = estep(state.params, batch_of(val_ds, idx))
+            errs.append(np.linalg.norm(
+                np.asarray(pred) - np.asarray(gt), axis=-1))
+        return float(np.concatenate(errs).mean() * 1000)
+
+    p1 = eval_p1(cfg.model)
+    nat = dataclasses.replace(
+        cfg.model,
+        backbone=dataclasses.replace(
+            cfg.model.backbone, cpn_native_pyramid=True
+        ),
+    )
+    p1n = eval_p1(nat)
+    print(f"[cpn] trained P1: resized {p1:.3f} mm | native-pyramid "
+          f"{p1n:.3f} mm | delta {p1n - p1:+.3f} mm")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-trained", action="store_true")
     ap.add_argument("--skip-output", action="store_true",
                     help="skip the full-size output-delta pass (TPU-heavy)")
     ap.add_argument("--steps", type=int, default=250)
+    ap.add_argument("--cpn", action="store_true",
+                    help="also run the cpn_native_pyramid trained A/B")
+    ap.add_argument("--cpn-only", action="store_true")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the axon plugin ignores "
                          "JAX_PLATFORMS; this uses jax.config directly)")
@@ -191,10 +273,15 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    if args.cpn_only:
+        trained_cpn_ab(args.steps)
+        return
     if not args.skip_output:
         output_delta()
     if not args.skip_trained:
         trained_ab(args.steps)
+    if args.cpn:
+        trained_cpn_ab(args.steps)
 
 
 if __name__ == "__main__":

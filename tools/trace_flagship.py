@@ -66,6 +66,8 @@ def main():
     ap.add_argument("--no-deploy", action="store_true")
     ap.add_argument("--static-amax", action="store_true",
                     help="serve_static_amax=True on top of deploy")
+    ap.add_argument("--native-pyramid", action="store_true",
+                    help="cpn_native_pyramid=True (CPN presets only)")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--top", type=int, default=40)
     args = ap.parse_args()
@@ -91,6 +93,13 @@ def main():
             model_cfg,
             backbone=dataclasses.replace(
                 model_cfg.backbone, serve_static_amax=True
+            ),
+        )
+    if args.native_pyramid:
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            backbone=dataclasses.replace(
+                model_cfg.backbone, cpn_native_pyramid=True
             ),
         )
     model = ContextAwarePoseFormer(cfg=model_cfg, dtype=jnp.bfloat16)
