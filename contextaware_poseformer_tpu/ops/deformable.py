@@ -481,11 +481,10 @@ def _multi_bwd(padding_mode, align_corners, interpret, precision, residuals,
     features, points = residuals
     impl = _BWD_IMPL
     if impl == "auto":
-        impl = (
-            "pallas"
-            if (not interpret and jax.default_backend() == "tpu")
-            else "reference"
-        )
+        # round-3 measurement: "auto" maps to REFERENCE everywhere — see
+        # the _BWD_IMPL note below (premise refuted on device; flagship
+        # level0 OOMs scoped VMEM in the Pallas backward).
+        impl = "reference"
     if impl == "pallas":
         return _multi_bwd_pallas(
             features, points, tuple(grads), padding_mode, align_corners,
@@ -522,13 +521,20 @@ sample_points_multi.defvjp(_multi_fwd, _multi_bwd)
 # convention of clip's min/max gradients at exact borders.
 # ---------------------------------------------------------------------------
 
-# "auto": pallas on real TPU, reference elsewhere; tests override to
-# "pallas" (with interpret=True) or "reference". The env override
-# CAPF_SAMPLER_BWD={auto,pallas,reference} lets benches A/B without edits.
-# Default is "reference" until the Pallas backward has a passing run on
-# real hardware (tests/test_tpu_smoke.py + tools/train_bench.py) — it is
-# interpret-mode/CPU-verified only, and interpret mode does not model
-# scoped-VMEM limits or Mosaic's int32->bf16 rounding (PERF.md).
+# Shipped default: "reference" — the lever is CLOSED on round-3 device
+# measurements (experiments/sampler_bwd_ab.py, PERF.md training page):
+# (a) the premise above is FALSE for this graph: the reference VJP's
+#     backward contains ~0 scatter time (~4 us/iter total scatter-ish ops
+#     in a 66 ms step at batch 128) — XLA lowers the sampler's dF to
+#     transposed matmul/fusion ops, not serialized scatters;
+# (b) the Pallas backward cannot run the flagship shape: level0
+#     (64x48xC32, P=272) needs 18.05 MB scoped VMEM against the 16 MB
+#     limit (remote compile error, batch 128) — fixing it needs HW-axis
+#     chunking inside the body for a backward that wins nothing.
+# The kernel stays as a hardware-verified opt-in artifact (small shapes
+# pass tests/test_tpu_smoke.py::test_sampler_backward_on_tpu); "auto" maps
+# to reference. CAPF_SAMPLER_BWD={auto,pallas,reference} still overrides
+# for experiments.
 _BWD_IMPL = os.environ.get("CAPF_SAMPLER_BWD", "reference")
 
 
