@@ -359,13 +359,23 @@ def deploy(cfg: Config) -> Config:
             # (trained P1 +0.354 -> +0.036 mm at 64 calibration samples;
             # tools/deploy_numerics.py, PERF.md round-2 session 3)
             backbone=replace(
-                cfg.model.backbone, quantize="serve", calib_quantile=0.999
+                cfg.model.backbone, quantize="serve", calib_quantile=0.999,
+                # CPN only (no-op elsewhere): native-resolution pyramid —
+                # round-3 device A/B 23.0 -> 17.9 ms/iter (1.28x composite,
+                # samplers 5.8 -> 2.6 ms); trained P1 delta +0.105 mm
+                # (tools/deploy_numerics.py --cpn-only), in line with the
+                # other accepted deploy trades. PERF.md round-3 CPN page.
+                cpn_native_pyramid=(cfg.model.backbone.kind == "cpn"),
             ),
             lifter=replace(
                 cfg.model.lifter,
                 compute_dtype="bfloat16",
                 sampler_precision="default",
                 attention="fused",
+                # round-3 device A/B (experiments/joint_attention_ab.py,
+                # interleaved traces): grouped 128 vs einsum 140 us/iter,
+                # rel RMS 5.6e-5 — small but free win, shipped
+                attention_joint="grouped",
                 mlp="fused",
                 sampler_pre_project=True,
             ),
