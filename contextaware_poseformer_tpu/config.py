@@ -366,6 +366,15 @@ def deploy(cfg: Config) -> Config:
                 # (tools/deploy_numerics.py --cpn-only), in line with the
                 # other accepted deploy trades. PERF.md round-3 CPN page.
                 cpn_native_pyramid=(cfg.model.backbone.kind == "cpn"),
+                # CPN only: static calibrated amax for the wide int8 convs —
+                # round-3 device trace 17.93 -> 15.4 ms/iter (1.16x: the
+                # abs_reduce family disappears and the conv/requant fusions
+                # shrink). Trained CPN protocol accuracy (deploy_numerics
+                # --cpn-only): deploy +0.279 mm vs fp32, +static-amax
+                # +0.044 mm — no accuracy cost. Flagship keeps dynamic amax
+                # (its measured static-amax delta was +0.115 mm for a
+                # smaller abs_reduce budget). PERF.md round-3.
+                serve_static_amax=(cfg.model.backbone.kind == "cpn"),
             ),
             lifter=replace(
                 cfg.model.lifter,

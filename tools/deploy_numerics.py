@@ -232,10 +232,29 @@ def trained_cpn_ab(steps_n: int = 250):
         state, aux = train_step(state, batch_of(train_ds, idx), key)
     print(f"[cpn] trained {steps_n} steps, final loss {float(aux['loss']):.4f}")
 
-    def eval_p1(model_cfg):
+    def eval_p1(model_cfg, calib_n: int = 64):
+        from contextaware_poseformer_tpu.data import augment
+        from contextaware_poseformer_tpu.models import prepare_serving
+
         m = ContextAwarePoseFormer(cfg=model_cfg)
+        extra = None
+        if model_cfg.backbone.quantize != "none":
+            batches = []
+            for s in range(0, calib_n, 16):
+                b = batch_of(val_ds, np.arange(s, s + 16))
+                batches.append((
+                    augment.normalize_images(
+                        b.images_u8, model_cfg.backbone.kind
+                    ),
+                    b.keypoints_2d, b.keypoints_2d_crop,
+                ))
+            v = prepare_serving(
+                m, {"params": state.params}, batches[0], batches=batches
+            )
+            extra = {k: v[k] for k in v if k != "params"}
         estep = jax.jit(steps.make_eval_step(
-            m, dataclasses.replace(cfg, model=model_cfg)))
+            m, dataclasses.replace(cfg, model=model_cfg),
+            extra_variables=extra))
         errs = []
         for s in range(0, len(val_ds), 16):
             idx = np.arange(s, min(s + 16, len(val_ds)))
@@ -254,6 +273,21 @@ def trained_cpn_ab(steps_n: int = 250):
     p1n = eval_p1(nat)
     print(f"[cpn] trained P1: resized {p1:.3f} mm | native-pyramid "
           f"{p1n:.3f} mm | delta {p1n - p1:+.3f} mm")
+    # full CPN deploy stack (serve quant + calib + native pyramid), then
+    # + serve_static_amax — the accuracy gate for the per-preset ship
+    # decision (PERF.md round-3 static-amax page)
+    dep = cfglib.deploy(cfg).model
+    p1d = eval_p1(dep)
+    print(f"[cpn] trained P1: deploy {p1d:.3f} mm | "
+          f"delta vs fp32 {p1d - p1:+.3f} mm")
+    ms = dataclasses.replace(
+        dep, backbone=dataclasses.replace(
+            dep.backbone, serve_static_amax=True
+        )
+    )
+    p1s = eval_p1(ms)
+    print(f"[cpn] trained P1: deploy static-amax {p1s:.3f} mm | "
+          f"delta vs fp32 {p1s - p1:+.3f} mm")
 
 
 def main():
