@@ -243,6 +243,78 @@ BACKBONE_SKIPS = {
 }
 
 
+def _unfold_conv_bn(c: _Consumer, conv_name: str):
+    """(conv.weight, sibling BN) -> ConvBNLive {params, batch_stats} pair
+    for the live-BN COCO trainer (models/cpn_coco.py) — BN kept UNfolded."""
+    w = c.take(f"{conv_name}.weight")  # OIHW
+    bn = _bn_name_for_conv(conv_name)
+    params = {
+        "kernel": np.transpose(w, (2, 3, 1, 0)).astype(np.float32),
+        "bn": {
+            "scale": c.take(f"{bn}.weight").astype(np.float32),
+            "bias": c.take(f"{bn}.bias").astype(np.float32),
+        },
+    }
+    stats = {
+        "bn": {
+            "mean": c.take(f"{bn}.running_mean").astype(np.float32),
+            "var": c.take(f"{bn}.running_var").astype(np.float32),
+        }
+    }
+    return params, stats
+
+
+def convert_cpn_coco(
+    state_dict: Mapping[str, np.ndarray],
+    flax_variables: Mapping[str, Any],
+    strict: bool = True,
+) -> dict[str, Any]:
+    """Torch CPN50 COCO checkpoint -> CPNCoco {params, batch_stats}.
+
+    `flax_variables` supplies the target structure (jax.eval_shape of
+    CPNCoco.init). Three entry kinds in the flat param tree:
+    - ConvBNLive modules ({kernel, bn:{scale,bias}}): conv + sibling torch BN
+    - bare head-conv leaves ("....kernel"): bias-free Conv3x3->K
+    - standalone BatchNormLive modules ({scale,bias}): the post-upsample BNs
+    Every torch key must be consumed (strict) — the COCO checkpoint carries
+    exactly this surface (mvn/models/cpn/train.py load path)."""
+    c = _Consumer(state_dict)
+    out_p: dict[str, Any] = {}
+    out_s: dict[str, Any] = {}
+    for name, leaf in flax_variables["params"].items():
+        if isinstance(leaf, Mapping) and "bn" in leaf:
+            out_p[name], out_s[name] = _unfold_conv_bn(c, name)
+        elif not isinstance(leaf, Mapping):
+            assert name.endswith(".kernel"), name
+            torch_name = name[: -len(".kernel")]
+            w = c.take(f"{torch_name}.weight")
+            out_p[name] = np.transpose(w, (2, 3, 1, 0)).astype(np.float32)
+        else:  # standalone BatchNormLive
+            out_p[name] = {
+                "scale": c.take(f"{name}.weight").astype(np.float32),
+                "bias": c.take(f"{name}.bias").astype(np.float32),
+            }
+            out_s[name] = {
+                "mean": c.take(f"{name}.running_mean").astype(np.float32),
+                "var": c.take(f"{name}.running_var").astype(np.float32),
+            }
+    def _shapes(tree):
+        if isinstance(tree, Mapping):
+            return {k: _shapes(v) for k, v in tree.items()}
+        return tuple(tree.shape)
+
+    for name, leaf in out_p.items():
+        want = flax_variables["params"][name]
+        if _shapes(leaf) != _shapes(want):
+            raise ValueError(
+                f"{name}: torch {_shapes(leaf)} != model {_shapes(want)}"
+            )
+    leftovers = c.unused()
+    if strict and leftovers:
+        raise ValueError(f"unconsumed torch keys: {leftovers[:10]}...")
+    return {"params": out_p, "batch_stats": out_s}
+
+
 def convert_composite(
     state_dict: Mapping[str, np.ndarray],
     backbone_params: Mapping[str, Any],

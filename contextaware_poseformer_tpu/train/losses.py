@@ -189,3 +189,38 @@ def volumetric_ce_loss(coord_volumes, volumes_pred, keypoints_gt, validity):
     picked = jnp.take_along_axis(flat, idx[..., None], axis=-1)[..., 0]
     losses_ = -jnp.log(picked + 1e-6) * validity[..., 0]
     return jnp.sum(losses_) / (b * j)
+
+
+# ---------------------------------------------------------------------------
+# CPN COCO detector losses (mvn/models/cpn/train.py:83-128)
+# ---------------------------------------------------------------------------
+
+
+def coco_global_loss(global_outs, targets, valid):
+    """Sum of the 4 globalNet head losses (cpn/train.py:118-123).
+
+    Each level: MSELoss(output, target * (valid > 1.1)) / 2 — the label is
+    ZEROED (not the loss masked) for joints that are not fully visible, so
+    invisible joints still push the prediction toward 0.
+
+    global_outs/targets: 4 x (N, Ho, Wo, K) NHWC (deepest-first, paired with
+    the gk15/11/9/7 targets in that order); valid: (N, K).
+    """
+    mask = (valid > 1.1).astype(jnp.float32)[:, None, None, :]
+    total = 0.0
+    for out, tgt in zip(global_outs, targets):
+        total = total + jnp.mean((out - tgt * mask) ** 2) / 2.0
+    return total
+
+
+def coco_refine_ohkm_loss(refine_out, target, valid, top_k: int = 8):
+    """Online hard-keypoint-mining refine loss (cpn/train.py:85-93,124-127):
+    per-(sample, joint) MSE over the map, masked by (valid > 0.1), then the
+    mean of each sample's top-8 joint losses, averaged over the batch.
+
+    refine_out/target: (N, Ho, Wo, K) NHWC; valid: (N, K).
+    """
+    per_joint = jnp.mean((refine_out - target) ** 2, axis=(1, 2))  # (N, K)
+    per_joint = per_joint * (valid > 0.1).astype(jnp.float32)
+    topk, _ = jax.lax.top_k(per_joint, top_k)
+    return jnp.mean(jnp.sum(topk, axis=1) / top_k)

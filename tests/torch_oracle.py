@@ -287,3 +287,108 @@ def cpn_forward(sd, x_nchw):
         y = F.interpolate(y, size=out_hw, mode="bilinear", align_corners=True)
         refine_fms.append(y.numpy())
     return refine_fms
+
+
+# ---------------------------------------------------------------------------
+# CPN COCO harness oracle: globalNet predict heads + refineNet final_predict
+# (globalNet.py:46-59, refineNet.py:64-70), eval-mode BN
+# ---------------------------------------------------------------------------
+
+
+def _coco_predict_head(feature, sd, i, out_hw):
+    p = f"global_net.predict.{i}"
+    y = conv_bn(feature, sd, f"{p}.0", 1, relu=True)
+    y = F.conv2d(y, t(sd[f"{p}.3.weight"]), padding=1)
+    y = F.interpolate(y, size=out_hw, mode="bilinear", align_corners=True)
+    return F.batch_norm(
+        y, t(sd[f"{p}.5.running_mean"]), t(sd[f"{p}.5.running_var"]),
+        t(sd[f"{p}.5.weight"]), t(sd[f"{p}.5.bias"]), training=False, eps=1e-5,
+    )
+
+
+def cpn_coco_forward(sd, x_nchw):
+    """(global_outs 4x, refine_out) for the COCO-head CPN (eval-mode BN)."""
+    x = t(x_nchw)
+    x = conv_bn(x, sd, "resnet.conv1", 2, relu=True)
+    x = F.max_pool2d(x, 3, 2, 1)
+    feats = []
+    for li, (p, blocks) in enumerate(zip((64, 128, 256, 512), (3, 4, 6, 3))):
+        stride = 1 if li == 0 else 2
+        if f"resnet.layer{li+1}.0.conv1.weight" not in sd:
+            continue
+        x = _res_bottle(x, sd, f"resnet.layer{li+1}.0", stride, True)
+        b = 1
+        while f"resnet.layer{li+1}.{b}.conv1.weight" in sd:
+            x = _res_bottle(x, sd, f"resnet.layer{li+1}.{b}", 1, False)
+            b += 1
+        feats.append(x)
+    res_out = feats[::-1]
+    out_hw = (x.shape[2] * 8, x.shape[3] * 8)
+
+    global_fms, global_outs, up = [], [], None
+    for i in range(4):
+        lat = conv_bn(res_out[i], sd, f"global_net.laterals.{i}.0", 1, relu=True)
+        feature = lat if i == 0 else lat + up
+        global_fms.append(feature)
+        if i != 3:
+            u = F.interpolate(feature, scale_factor=2, mode="bilinear",
+                              align_corners=True)
+            up = conv_bn(u, sd, f"global_net.upsamples.{i}.1", 1)
+        global_outs.append(_coco_predict_head(feature, sd, i, out_hw))
+
+    def _refine_bottle(y, prefix):
+        r = conv_bn(y, sd, f"{prefix}.downsample.0", 1)
+        z = conv_bn(y, sd, f"{prefix}.conv1", 1, relu=True)
+        z = conv_bn(z, sd, f"{prefix}.conv2", 1, relu=True)
+        z = conv_bn(z, sd, f"{prefix}.conv3", 1)
+        return F.relu(z + r)
+
+    refine_fms = []
+    for i in range(4):
+        y = global_fms[i]
+        for k in range(4 - i - 1):
+            y = _refine_bottle(y, f"refine_net.cascade.{i}.{k}")
+        y = F.interpolate(y, size=out_hw, mode="bilinear", align_corners=True)
+        refine_fms.append(y)
+    cat = torch.cat(refine_fms, dim=1)
+    y = _refine_bottle(cat, "refine_net.final_predict.0")
+    y = F.conv2d(y, t(sd["refine_net.final_predict.1.weight"]), padding=1)
+    refine_out = F.batch_norm(
+        y, t(sd["refine_net.final_predict.2.running_mean"]),
+        t(sd["refine_net.final_predict.2.running_var"]),
+        t(sd["refine_net.final_predict.2.weight"]),
+        t(sd["refine_net.final_predict.2.bias"]), training=False, eps=1e-5,
+    )
+    return [g.numpy() for g in global_outs], refine_out.numpy()
+
+
+def random_state_dict_for_coco(variables, rng):
+    """Random torch state dict matching a CPNCoco variables tree (params with
+    ConvBNLive dicts / bare ".kernel" leaves / standalone BN dicts, plus
+    batch_stats)."""
+    import collections.abc as _abc
+
+    sd = {}
+
+    def _bn_keys(bn_name, cout):
+        sd[bn_name + ".weight"] = rng.uniform(0.5, 1.5, cout).astype(np.float32)
+        sd[bn_name + ".bias"] = (rng.randn(cout) * 0.1).astype(np.float32)
+        sd[bn_name + ".running_mean"] = (rng.randn(cout) * 0.1).astype(np.float32)
+        sd[bn_name + ".running_var"] = rng.uniform(0.5, 1.5, cout).astype(np.float32)
+
+    for name, leaf in variables["params"].items():
+        if isinstance(leaf, _abc.Mapping) and "bn" in leaf:
+            kh, kw, cin, cout = leaf["kernel"].shape
+            std = (2.0 / (cin * kh * kw)) ** 0.5
+            sd[name + ".weight"] = (
+                rng.randn(cout, cin, kh, kw) * std).astype(np.float32)
+            _bn_keys(_bn_name(name), cout)
+        elif not isinstance(leaf, _abc.Mapping):
+            assert name.endswith(".kernel"), name
+            kh, kw, cin, cout = leaf.shape
+            std = (2.0 / (cin * kh * kw)) ** 0.5
+            sd[name[: -len(".kernel")] + ".weight"] = (
+                rng.randn(cout, cin, kh, kw) * std).astype(np.float32)
+        else:  # standalone BatchNorm
+            _bn_keys(name, leaf["scale"].shape[0])
+    return sd

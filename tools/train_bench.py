@@ -27,6 +27,17 @@ def main():
     ap.add_argument("--batches", default="64,128,256")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--bursts", type=int, default=3)
+    ap.add_argument(
+        "--eval", action="store_true",
+        help="also time the eval step (flip-test folded into the batch axis "
+        "— one 2B forward) at each batch size",
+    )
+    ap.add_argument(
+        "--compute-dtype", default=None, choices=["float32", "bfloat16"],
+        help="override ModelConfig.compute_dtype (bfloat16 = fast-train: "
+        "frozen backbone in bf16, lifter/optimizer stay fp32 — the same "
+        "switch Trainer honors via cfg.model.compute_dtype)",
+    )
     args = ap.parse_args()
 
     import numpy as np
@@ -41,6 +52,13 @@ def main():
 
     print("backend:", jax.default_backend())
     cfg = cfglib.preset(args.preset)
+    if args.compute_dtype:
+        cfg = cfglib.replace(
+            cfg, model=cfglib.replace(cfg.model, compute_dtype=args.compute_dtype)
+        )
+    model_dtype = (
+        jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
+    )
     h, w = cfg.model.image_shape
     rng = np.random.RandomState(0)
 
@@ -48,7 +66,7 @@ def main():
         cfg_b = cfglib.replace(
             cfg, train=cfglib.replace(cfg.train, batch_size=bs)
         )
-        model = ContextAwarePoseFormer(cfg=cfg_b.model)
+        model = ContextAwarePoseFormer(cfg=cfg_b.model, dtype=model_dtype)
         opt = steps.make_optimizer(cfg_b, steps_per_epoch=100)
         train_step = jax.jit(steps.make_train_step(model, cfg_b, opt), donate_argnums=0)
 
@@ -99,6 +117,38 @@ def main():
             f"{r['iters_per_sec']:.2f} steps/s, "
             f"{bs * r['iters_per_sec']:.0f} frames/s/chip"
         )
+
+        if args.eval:
+            eval_step = jax.jit(steps.make_eval_step(model, cfg_b))
+            params = holder["state"].params
+
+            def eval_once(salt):
+                pred, _ = eval_step(
+                    params,
+                    steps.RawBatch(
+                        batch.images_u8,
+                        batch.keypoints_3d,
+                        batch.keypoints_2d + salt,
+                        batch.keypoints_2d_crop,
+                    ),
+                )
+                return pred
+
+            try:
+                r = sustained_timer(
+                    eval_once,
+                    lambda i: (jnp.float32(i) * 1e-9,),
+                    iters=args.iters, bursts=args.bursts,
+                )
+            except Exception as e:  # noqa: BLE001
+                print(f"batch {bs}: eval failed: {type(e).__name__}: "
+                      f"{str(e)[:120]}")
+                continue
+            print(
+                f"batch {bs} EVAL (flip-test 2B fwd): "
+                f"{r['sec_per_iter'] * 1e3:.1f} ms/step, "
+                f"{bs * r['iters_per_sec']:.0f} frames/s/chip"
+            )
 
 
 if __name__ == "__main__":
