@@ -84,6 +84,15 @@ class BackboneConfig:
     # upsample matmul chains and ~4x/16x/64x of per-level sampler HBM
     # traffic (PERF.md CPN budget).
     cpn_native_pyramid: bool = False
+    # HRNet only: run stage4 with ONLY its first module (drop modules 1-2,
+    # ~2/3 of stage-4 branch compute + 2 fuse sets). Levels 1-3 are ALREADY
+    # the first stage-4 module's pre-fuse branch outputs (the reference's
+    # in-place-mutation quirk, pose_hrnet.py:289-290,501), so only level0
+    # changes: it becomes module 0's fused output instead of module 2's.
+    # An accuracy-gated deployment trade like cpn_native_pyramid — measured
+    # via the trained-P1 protocol (tools/deploy_numerics.py --truncate)
+    # before shipping per preset; default False keeps the reference graph.
+    hrnet_stage4_truncate: bool = False
     # CPN ResNet stage depths (torchvision resnet50 = (3, 4, 6, 3)); only
     # shrunk by tests/accuracy probes — checkpoints require the default.
     cpn_layers: tuple[int, ...] = (3, 4, 6, 3)

@@ -363,7 +363,17 @@ class HRNet(nn.Module):
             ys[2],
             self._conv("transition3.3.0.0", c4[3], 3, 2, relu=True)(ys[-1]),
         ]
-        ys, s4_branch0 = self._stage(xs, "stage4", cfg.stage4,
+        stage4 = cfg.stage4
+        if cfg.hrnet_stage4_truncate:
+            # accuracy-gated deploy trade: only module 0 runs; its branch
+            # outputs (levels 1-3) are IDENTICAL to the full graph's, and
+            # level0 becomes module 0's fused output. Module-0 parameter
+            # names are unchanged, so a full-graph checkpoint applies
+            # directly (modules 1-2 params simply go unused).
+            import dataclasses
+
+            stage4 = dataclasses.replace(stage4, num_modules=1)
+        ys, s4_branch0 = self._stage(xs, "stage4", stage4,
                                      multi_scale_output=False)
 
         # reference quirk (verified against the live module with

@@ -347,3 +347,39 @@ def test_serve_static_amax_close_to_dynamic():
         b = np.asarray(b, np.float64)
         rms_rel = np.sqrt(((a - b) ** 2).mean()) / (a.std() + 1e-9)
         assert 0.0 <= rms_rel < 0.05, rms_rel  # engaged elsewhere, bounded
+
+
+def test_stage4_truncate_levels_1_3_bit_identical():
+    """hrnet_stage4_truncate drops stage-4 modules 1-2. Levels 1-3 are the
+    FIRST stage-4 module's pre-fuse branch outputs in BOTH graphs (the
+    reference aliasing quirk, pose_hrnet.py:289-290,501), so with the same
+    full-graph params they must be BIT-identical; only level0 changes
+    (module 0's fused output vs module 2's). A full-graph checkpoint applies
+    to the truncated graph directly — modules 1-2 params just go unused."""
+    import dataclasses
+
+    cfg = tiny_cfg()  # stage4 has 2 modules: truncation drops module 1
+    full = HRNet(cfg=cfg)
+    trunc = HRNet(
+        cfg=dataclasses.replace(cfg, hrnet_stage4_truncate=True)
+    )
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+    params = full.init(jax.random.PRNGKey(0), x)
+    out_f = full.apply(params, x)
+    out_t = trunc.apply(params, x)
+    assert len(out_t) == 4
+    for lvl in (1, 2, 3):
+        np.testing.assert_array_equal(
+            np.asarray(out_f[lvl]), np.asarray(out_t[lvl]), err_msg=f"level {lvl}"
+        )
+    assert out_t[0].shape == out_f[0].shape
+    assert not np.allclose(np.asarray(out_f[0]), np.asarray(out_t[0]))
+    # the truncated graph's own param tree is a strict subset: no module-1
+    # params, no module-0 multi-scale fuse rows (fuse_layers.1..3)
+    p_t = {str(k) for k, _ in jax.tree_util.tree_flatten_with_path(
+        trunc.init(jax.random.PRNGKey(0), x)["params"])[0]}
+    p_f = {str(k) for k, _ in jax.tree_util.tree_flatten_with_path(
+        params["params"])[0]}
+    assert p_t < p_f
+    assert not any("stage4.1" in k for k in p_t)

@@ -290,6 +290,127 @@ def trained_cpn_ab(steps_n: int = 250):
           f"delta vs fp32 {p1s - p1:+.3f} mm")
 
 
+def trained_truncate_ab(steps_n: int = 250):
+    """Trained-P1 gate for hrnet_stage4_truncate (VERDICT r3 item 2).
+
+    The standard tiny protocol uses a 1-module stage4 (nothing to drop), so
+    this one trains a tiny model with the reference's THREE stage-4 modules
+    and evaluates: fp32 parity, fp32+truncate (isolates the topology change
+    from the numerics stack), deploy, deploy+truncate. Truncation drops
+    trained modules 1-2 post-hoc — level0 becomes module 0's fused output,
+    whose statistics the lifter never saw in training — so this is the
+    pessimistic framing; a deployment that retrains with the truncated
+    topology can only do better.
+    """
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from contextaware_poseformer_tpu import config as cfglib
+    from contextaware_poseformer_tpu.config import (
+        BackboneConfig,
+        HRNetStageConfig,
+        LifterConfig,
+    )
+    from contextaware_poseformer_tpu.data.synthetic import SyntheticPoseDataset
+    from contextaware_poseformer_tpu.models import ContextAwarePoseFormer
+    from contextaware_poseformer_tpu.train import steps
+
+    w = 32
+    c = (w, 2 * w, 4 * w, 8 * w)
+    cfg = cfglib.preset("h36m_hrnet_32")
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model,
+            backbone=BackboneConfig(
+                kind="hrnet", width=w,
+                stage2=HRNetStageConfig(1, 2, (2, 2), c[:2]),
+                stage3=HRNetStageConfig(1, 3, (2, 2, 2), c[:3]),
+                # the REFERENCE's 3 stage-4 modules (shrunk blocks) so the
+                # truncation actually removes modules 1-2
+                stage4=HRNetStageConfig(3, 4, (2, 2, 2, 2), c),
+            ),
+            lifter=LifterConfig(embed_dim_ratio=32, depth=2, levels=4),
+            image_shape=(64, 64),
+        ),
+        train=dataclasses.replace(cfg.train, batch_size=16),
+    )
+
+    train_ds = SyntheticPoseDataset(size=128, image_shape=(64, 64), seed=0)
+    val_ds = SyntheticPoseDataset(size=64, image_shape=(64, 64), seed=99)
+    model = ContextAwarePoseFormer(cfg=cfg.model)
+    opt = steps.make_optimizer(cfg, steps_per_epoch=100)
+    train_step = jax.jit(steps.make_train_step(model, cfg, opt))
+
+    def batch_of(ds, idx):
+        return steps.RawBatch(
+            jnp.asarray(ds._images[idx]), jnp.asarray(ds.joints_3d[idx]),
+            jnp.asarray(ds.joints_2d[idx]),
+            jnp.asarray(ds.joints_2d_crop[idx]),
+        )
+
+    rng = np.random.RandomState(0)
+    state = steps.init_state(model, cfg, opt, jax.random.PRNGKey(0),
+                             batch_of(train_ds, np.arange(16)))
+    key = jax.random.PRNGKey(1)
+    for _ in range(steps_n):
+        idx = rng.randint(0, len(train_ds), 16)
+        state, aux = train_step(state, batch_of(train_ds, idx), key)
+    print(f"[s4tr] trained {steps_n} steps, "
+          f"final loss {float(aux['loss']):.4f}")
+
+    def eval_p1(model_cfg, calib_n: int = 64):
+        from contextaware_poseformer_tpu.data import augment
+        from contextaware_poseformer_tpu.models import prepare_serving
+
+        m = ContextAwarePoseFormer(cfg=model_cfg)
+        extra = None
+        if model_cfg.backbone.quantize != "none":
+            batches = []
+            for s in range(0, calib_n, 16):
+                b = batch_of(val_ds, np.arange(s, s + 16))
+                batches.append((
+                    augment.normalize_images(
+                        b.images_u8, model_cfg.backbone.kind
+                    ),
+                    b.keypoints_2d, b.keypoints_2d_crop,
+                ))
+            v = prepare_serving(
+                m, {"params": state.params}, batches[0], batches=batches
+            )
+            extra = {k: v[k] for k in v if k != "params"}
+        estep = jax.jit(steps.make_eval_step(
+            m, dataclasses.replace(cfg, model=model_cfg),
+            extra_variables=extra))
+        errs = []
+        for s in range(0, len(val_ds), 16):
+            idx = np.arange(s, min(s + 16, len(val_ds)))
+            pred, gt = estep(state.params, batch_of(val_ds, idx))
+            errs.append(np.linalg.norm(
+                np.asarray(pred) - np.asarray(gt), axis=-1))
+        return float(np.concatenate(errs).mean() * 1000)
+
+    def with_truncate(model_cfg):
+        return dataclasses.replace(
+            model_cfg,
+            backbone=dataclasses.replace(
+                model_cfg.backbone, hrnet_stage4_truncate=True
+            ),
+        )
+
+    p1 = eval_p1(cfg.model)
+    p1t = eval_p1(with_truncate(cfg.model))
+    print(f"[s4tr] trained P1: fp32 {p1:.3f} mm | fp32+truncate "
+          f"{p1t:.3f} mm | delta {p1t - p1:+.3f} mm")
+    dep = cfglib.deploy(cfg).model
+    p1d = eval_p1(dep)
+    p1dt = eval_p1(with_truncate(dep))
+    print(f"[s4tr] trained P1: deploy {p1d:.3f} mm | deploy+truncate "
+          f"{p1dt:.3f} mm | delta vs fp32 {p1dt - p1:+.3f} mm")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-trained", action="store_true")
@@ -299,6 +420,8 @@ def main():
     ap.add_argument("--cpn", action="store_true",
                     help="also run the cpn_native_pyramid trained A/B")
     ap.add_argument("--cpn-only", action="store_true")
+    ap.add_argument("--truncate", action="store_true",
+                    help="run ONLY the stage4-truncation trained A/B")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the axon plugin ignores "
                          "JAX_PLATFORMS; this uses jax.config directly)")
@@ -307,6 +430,9 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    if args.truncate:
+        trained_truncate_ab(args.steps)
+        return
     if args.cpn_only:
         trained_cpn_ab(args.steps)
         return
