@@ -17,15 +17,20 @@ common/generator_3dhp.py:6-236):
 storage but zeroed in every loss/metric (run_3dhp.py:66,109,118) — our
 root_center(root=14) at batch-prep time is numerically equivalent.
 
-TPU-first: sequences flattened into contiguous arrays + one path per frame;
-chunking degenerates to frame indexing because the live model is single-frame
-(chunk_length=stride=1, pad=0).
+TPU-first: sequences flattened into contiguous arrays + one path per frame.
+The live model is single-frame (chunk_length=stride=1, pad=0), where chunking
+degenerates to frame indexing; the reference's `-f > 1` window slicing
+(generator_3dhp.py:41-59 pair building, :147-207 edge-padded 2D/3D windows)
+is `window_pairs` + `window_indices` below — edge-padding a slice equals
+gathering with CLIPPED indices, so a window is one fixed-shape gather into
+the packed arrays (no per-item np.pad copies, jit/batch friendly).
 """
 
 from __future__ import annotations
 
 import os
 from dataclasses import dataclass
+from typing import Sequence
 
 import numpy as np
 
@@ -51,6 +56,11 @@ class Mpi3dhpDataset:
     image_shape: tuple[int, int] = (256, 192)
     # kept for pipeline protocol compatibility (H36M action bucketing)
     action_idx: np.ndarray | None = None
+    # per-frame validity aligned with the packed arrays; only set by
+    # load_test(keep_invalid=True), which retains invalid frames so that
+    # multi-frame test windows can gather 2D context across them exactly as
+    # the reference does (generator_3dhp.py:46 filters chunk CENTERS only)
+    valid_mask: np.ndarray | None = None
 
     def __post_init__(self):
         if self.action_idx is None:
@@ -140,26 +150,35 @@ def load_train(npz_path: str, img_root: str) -> Mpi3dhpDataset:
     )
 
 
-def load_test(npz_path: str, img_root: str) -> Mpi3dhpDataset:
+def load_test(
+    npz_path: str, img_root: str, *, keep_invalid: bool = False
+) -> Mpi3dhpDataset:
+    """Test split. keep_invalid=False (live single-frame path) drops invalid
+    frames outright — identical to filtering chunk centers at frames=1.
+    keep_invalid=True retains every frame (with `valid_mask` set) so that
+    `make_windows(frames>1)` can gather 2D context across invalid neighbors
+    exactly like the reference (generator_3dhp.py:46,147-161)."""
     data = np.load(npz_path, allow_pickle=True)["data"].item()
-    j3, j2, j2c, paths, seqi, names = [], [], [], [], [], []
+    j3, j2, j2c, paths, seqi, names, vmask = [], [], [], [], [], [], []
     for seq in sorted(data.keys()):  # TS1..TS6
         anim = data[seq]
         valid = np.asarray(anim["valid"]).astype(bool).reshape(-1)
+        keep = np.ones_like(valid) if keep_invalid else valid
         w, h = (1920, 1080) if seq in ("TS5", "TS6") else (2048, 2048)
-        j3.append(_center_3d(anim["data_3d"])[valid])
+        j3.append(_center_3d(anim["data_3d"])[keep])
         j2.append(
             normalize_screen_coordinates(
                 anim["data_2d"][..., :2].astype(np.float32), w, h
-            ).astype(np.float32)[valid]
+            ).astype(np.float32)[keep]
         )
-        j2c.append(anim["data_2d_crop"][..., :2].astype(np.float32)[valid])
-        frame_ids = np.nonzero(valid)[0]
+        j2c.append(anim["data_2d_crop"][..., :2].astype(np.float32)[keep])
+        frame_ids = np.nonzero(keep)[0]
         paths.extend(
             os.path.join(seq, f"{seq}_{i + 1:06d}.jpg") for i in frame_ids
         )
         names.append(seq)
-        seqi.extend([len(names) - 1] * int(valid.sum()))
+        seqi.extend([len(names) - 1] * int(keep.sum()))
+        vmask.append(valid[keep])
     return Mpi3dhpDataset(
         root=img_root,
         joints_3d=np.concatenate(j3),
@@ -168,6 +187,180 @@ def load_test(npz_path: str, img_root: str) -> Mpi3dhpDataset:
         image_paths=np.asarray(paths),
         seq_idx=np.asarray(seqi, np.int32),
         seq_names=tuple(names),
+        valid_mask=np.concatenate(vmask) if keep_invalid else None,
+    )
+
+
+def window_pairs(
+    seq_lengths: Sequence[int],
+    *,
+    train: bool,
+    chunk_length: int = 1,
+    reverse_aug: bool = False,
+    flip_aug: bool = False,
+    valid_frames: Sequence[np.ndarray] | None = None,
+) -> np.ndarray:
+    """(seq_id, start, end, flip, reverse) chunk pairs, int32 (P, 5).
+
+    Reproduces the reference pair builder exactly
+    (generator_3dhp.py:19-63): train chunks tile each sequence with a
+    centered offset `(n_chunks*chunk_length - T) // 2` (starts can be
+    negative / ends past T — the window gather edge-pads); test chunks are
+    single frames filtered by `valid_frame`. Augmented copies append in the
+    reference's order: base, reverse, flip(+reverse).
+    """
+    pairs = []
+    for sid, T in enumerate(seq_lengths):
+        T = int(T)
+        n_chunks = (T + chunk_length - 1) // chunk_length
+        offset = (n_chunks * chunk_length - T) // 2
+        if train:
+            bounds = np.arange(n_chunks + 1) * chunk_length - offset
+            lo, hi = bounds[:-1], bounds[1:]
+        else:
+            lo = np.arange(n_chunks) * chunk_length - offset
+            if valid_frames is not None:
+                mask = np.asarray(valid_frames[sid]).astype(bool).reshape(-1)
+                lo = lo[mask]
+            hi = lo + 1
+        variants = [(False, False)]
+        if reverse_aug:
+            variants.append((False, True))
+        if flip_aug:
+            variants.append((True, True) if reverse_aug else (True, False))
+        for flip, reverse in variants:
+            block = np.empty((len(lo), 5), np.int32)
+            block[:, 0] = sid
+            block[:, 1] = lo
+            block[:, 2] = hi
+            block[:, 3] = int(flip)
+            block[:, 4] = int(reverse)
+            pairs.append(block)
+    if not pairs:
+        return np.zeros((0, 5), np.int32)
+    return np.concatenate(pairs)
+
+
+def window_indices(
+    pair: np.ndarray,
+    seq_length: int,
+    *,
+    pad: int = 0,
+    causal_shift: int = 0,
+    out_all: bool = True,
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Per-pair (idx_2d, idx_3d, image_frame) local frame indices.
+
+    The reference edge-pads the slice `[start-pad-shift, end+pad-shift)`
+    (generator_3dhp.py:147-207); clipping the index range to [0, T-1] is
+    numerically identical and keeps the window a single fixed-shape gather.
+    `out_all=True` (opt default) makes the 3D window equal the 2D window;
+    otherwise 3D covers just [start, end). `reverse` flips both windows
+    (:179-180,206-207). The image is always the single frame at `start`
+    (:140-141) — the model is single-frame even with temporal label windows.
+    """
+    _, start, end, _flip, reverse = (int(v) for v in pair)
+    idx_2d = np.clip(
+        np.arange(start - pad - causal_shift, end + pad - causal_shift),
+        0, seq_length - 1,
+    )
+    if out_all:
+        idx_3d = idx_2d.copy()
+    else:
+        idx_3d = np.clip(np.arange(start, end), 0, seq_length - 1)
+    if reverse:
+        idx_2d = idx_2d[::-1].copy()
+        idx_3d = idx_3d[::-1].copy()
+    return idx_2d, idx_3d, int(np.clip(start, 0, seq_length - 1))
+
+
+@dataclass
+class Mpi3dhpWindows:
+    """Multi-frame chunk view over a packed Mpi3dhpDataset (`-f > 1`).
+
+    Each item is one reference chunk: edge-padded 2D/3D label windows of
+    `chunk_length + 2*pad` / `chunk_length` frames plus the single image at
+    the chunk start. Windows are gathers with clipped GLOBAL indices into
+    the dataset's packed arrays (seq_starts offsets each sequence).
+    """
+
+    ds: Mpi3dhpDataset
+    pairs: np.ndarray  # (P, 5) int32 from window_pairs
+    seq_starts: np.ndarray  # (S,) global offset of each sequence
+    seq_lengths: np.ndarray  # (S,)
+    pad: int = 0
+    causal_shift: int = 0
+    out_all: bool = True
+
+    def __len__(self):
+        return len(self.pairs)
+
+    def __getitem__(self, i: int) -> dict:
+        pair = self.pairs[i]
+        sid = int(pair[0])
+        T = int(self.seq_lengths[sid])
+        idx_2d, idx_3d, img_frame = window_indices(
+            pair, T, pad=self.pad, causal_shift=self.causal_shift,
+            out_all=self.out_all,
+        )
+        base = int(self.seq_starts[sid])
+        return {
+            "seq_id": sid,
+            "flip": bool(pair[3]),
+            "joints_2d": self.ds.joints_2d[base + idx_2d],
+            "joints_2d_crop": self.ds.joints_2d_crop[base + idx_2d],
+            "joints_3d": self.ds.joints_3d[base + idx_3d],
+            "image_index": base + img_frame,
+        }
+
+
+def make_windows(
+    ds: Mpi3dhpDataset,
+    *,
+    frames: int = 1,
+    train: bool,
+    chunk_length: int = 1,
+    reverse_aug: bool = False,
+    flip_aug: bool = False,
+    out_all: bool = True,
+) -> Mpi3dhpWindows:
+    """Reference `-f` semantics: pad = (frames-1)//2 (opt.py:69); pairs and
+    windows as generator_3dhp.py.
+
+    Test-split validity: with `load_test(keep_invalid=False)` (the live
+    frames=1 path) invalid frames are already dropped from the packed
+    arrays, so every remaining frame is one chunk — identical to the
+    reference's bounds[valid] filter at frames=1. For frames > 1 the
+    reference gathers 2D context across INVALID neighbors too, so the
+    dataset must retain them: build it with keep_invalid=True (then
+    `valid_mask` filters chunk centers here)."""
+    seq_ids = np.asarray(ds.seq_idx)
+    n_seq = len(ds.seq_names)
+    seq_lengths = np.bincount(seq_ids, minlength=n_seq)
+    seq_starts = np.concatenate([[0], np.cumsum(seq_lengths)[:-1]])
+    # packed arrays are sequence-contiguous by construction (load_train/
+    # load_test append per sequence); guard the gather's precondition
+    assert (np.sort(seq_ids) == seq_ids).all(), "seq_idx must be contiguous"
+    valid_frames = None
+    if not train:
+        if ds.valid_mask is not None:
+            valid_frames = [
+                ds.valid_mask[s:s + n]
+                for s, n in zip(seq_starts, seq_lengths)
+            ]
+        elif frames > 1:
+            raise ValueError(
+                "multi-frame test windows need the full sequences: build "
+                "the dataset with load_test(..., keep_invalid=True)"
+            )
+    pairs = window_pairs(
+        seq_lengths, train=train, chunk_length=chunk_length,
+        reverse_aug=reverse_aug, flip_aug=flip_aug,
+        valid_frames=valid_frames,
+    )
+    return Mpi3dhpWindows(
+        ds=ds, pairs=pairs, seq_starts=seq_starts, seq_lengths=seq_lengths,
+        pad=(frames - 1) // 2, out_all=out_all,
     )
 
 

@@ -107,3 +107,128 @@ def test_3dhp_deploy_preset_eval(tmp_path):
     ])
     assert np.isfinite(summary["p1_mm"])
     assert 0.0 <= summary["pck"] <= 100.0
+
+
+# ---------------------------------------------------------------------------
+# Multi-frame chunk windows (-f > 1): directly-ported numpy oracle of the
+# reference's indexing (generator_3dhp.py:19-63 pair building, :147-207
+# edge-padded window slicing), compared bit-for-bit with our gather-based
+# formulation (edge-pad == clipped-index gather).
+# ---------------------------------------------------------------------------
+
+
+def _oracle_pairs(seq_lengths, train, chunk_length, reverse_aug, valid=None):
+    pairs = []
+    for sid, T in enumerate(seq_lengths):
+        n_chunks = (T + chunk_length - 1) // chunk_length
+        offset = (n_chunks * chunk_length - T) // 2
+        if train:
+            bounds = np.arange(n_chunks + 1) * chunk_length - offset
+            av = np.full(len(bounds) - 1, False)
+            base = list(zip([sid] * (len(bounds) - 1), bounds[:-1],
+                            bounds[1:], av, av))
+            pairs += base
+            if reverse_aug:
+                pairs += [(s, lo, hi, f, True) for s, lo, hi, f, _ in base]
+        else:
+            bounds = np.arange(n_chunks) * chunk_length - offset
+            lo = bounds[np.asarray(valid[sid]).astype(bool)]
+            hi = lo + 1
+            av = np.full(len(lo), False)
+            pairs += list(zip([sid] * len(lo), lo, hi, av, av))
+    return pairs
+
+
+def _oracle_window(seq_2d, seq_3d, start, end, pad, reverse, out_all=True):
+    """generator_3dhp.py:147-207 with np.pad 'edge', verbatim semantics."""
+    start_2d, end_2d = start - pad, end + pad
+    low = max(start_2d, 0)
+    high = min(end_2d, seq_2d.shape[0])
+    pl, pr = low - start_2d, end_2d - high
+    w2 = np.pad(seq_2d[low:high], ((pl, pr), (0, 0), (0, 0)), "edge") \
+        if (pl or pr) else seq_2d[low:high]
+    if out_all:
+        w3 = np.pad(seq_3d[low:high], ((pl, pr), (0, 0), (0, 0)), "edge") \
+            if (pl or pr) else seq_3d[low:high]
+    else:
+        l3, h3 = max(start, 0), min(end, seq_3d.shape[0])
+        pl3, pr3 = l3 - start, end - h3
+        w3 = np.pad(seq_3d[l3:h3], ((pl3, pr3), (0, 0), (0, 0)), "edge") \
+            if (pl3 or pr3) else seq_3d[l3:h3]
+    if reverse:
+        w2, w3 = w2[::-1].copy(), w3[::-1].copy()
+    return w2, w3
+
+
+def _windowed_train_ds(tmp_path):
+    p = str(tmp_path / "train.npz")
+    _fake_train_npz(p)
+    return mpi3dhp.load_train(p, str(tmp_path))
+
+
+@pytest.mark.parametrize("frames", [1, 3, 9])
+@pytest.mark.parametrize("chunk_length", [1, 3])
+def test_train_windows_match_reference_oracle(tmp_path, frames, chunk_length):
+    ds = _windowed_train_ds(tmp_path)
+    win = mpi3dhp.make_windows(
+        ds, frames=frames, train=True, chunk_length=chunk_length,
+        reverse_aug=True,
+    )
+    pad = (frames - 1) // 2
+    assert win.pad == pad
+    seq_lengths = [int((ds.seq_idx == s).sum()) for s in range(4)]
+    oracle = _oracle_pairs(seq_lengths, True, chunk_length, reverse_aug=True)
+    assert len(win) == len(oracle)
+    starts = np.concatenate([[0], np.cumsum(seq_lengths)[:-1]])
+    for i, (sid, lo, hi, flip, rev) in enumerate(oracle):
+        got = win[i]
+        s = starts[sid]
+        n = seq_lengths[sid]
+        w2, w3 = _oracle_window(
+            ds.joints_2d[s:s + n], ds.joints_3d[s:s + n],
+            int(lo), int(hi), pad, bool(rev),
+        )
+        assert got["seq_id"] == sid and got["flip"] == bool(flip)
+        assert got["joints_2d"].shape[0] == (hi - lo) + 2 * pad
+        np.testing.assert_array_equal(got["joints_2d"], w2)
+        np.testing.assert_array_equal(got["joints_3d"], w3)
+        # image = single frame at the (clamped) chunk start
+        assert got["image_index"] == s + int(np.clip(lo, 0, n - 1))
+
+
+@pytest.mark.parametrize("frames", [1, 3, 9])
+def test_test_windows_valid_filter_matches_oracle(tmp_path, frames):
+    p = str(tmp_path / "test.npz")
+    _fake_test_npz(p)
+    ds = mpi3dhp.load_test(p, str(tmp_path), keep_invalid=True)
+    valid = [np.asarray(ds.valid_mask[ds.seq_idx == s]) for s in range(2)]
+    assert [int(v.sum()) for v in valid] == [4, 4]
+    win = mpi3dhp.make_windows(ds, frames=frames, train=False)
+    pad = (frames - 1) // 2
+    seq_lengths = [int((ds.seq_idx == s).sum()) for s in range(2)]
+    oracle = _oracle_pairs(seq_lengths, False, 1, False, valid=valid)
+    assert len(win) == len(oracle) == 8
+    starts = np.concatenate([[0], np.cumsum(seq_lengths)[:-1]])
+    for i, (sid, lo, hi, _flip, rev) in enumerate(oracle):
+        got = win[i]
+        s = starts[sid]
+        n = seq_lengths[sid]
+        w2, w3 = _oracle_window(
+            ds.joints_2d[s:s + n], ds.joints_3d[s:s + n],
+            int(lo), int(hi), pad, bool(rev),
+        )
+        np.testing.assert_array_equal(got["joints_2d"], w2)
+        np.testing.assert_array_equal(got["joints_3d"], w3)
+        # every chunk center is a valid frame
+        assert valid[sid][int(lo)]
+
+
+def test_test_windows_multiframe_requires_keep_invalid(tmp_path):
+    p = str(tmp_path / "test.npz")
+    _fake_test_npz(p)
+    ds = mpi3dhp.load_test(p, str(tmp_path))  # invalid frames dropped
+    with pytest.raises(ValueError, match="keep_invalid"):
+        mpi3dhp.make_windows(ds, frames=3, train=False)
+    # frames=1 on the dropped-frames dataset is the live path and fine
+    win = mpi3dhp.make_windows(ds, frames=1, train=False)
+    assert len(win) == len(ds)

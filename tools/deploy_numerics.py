@@ -295,12 +295,16 @@ def trained_truncate_ab(steps_n: int = 250):
 
     The standard tiny protocol uses a 1-module stage4 (nothing to drop), so
     this one trains a tiny model with the reference's THREE stage-4 modules
-    and evaluates: fp32 parity, fp32+truncate (isolates the topology change
-    from the numerics stack), deploy, deploy+truncate. Truncation drops
-    trained modules 1-2 post-hoc — level0 becomes module 0's fused output,
-    whose statistics the lifter never saw in training — so this is the
-    pessimistic framing; a deployment that retrains with the truncated
-    topology can only do better.
+    and evaluates two framings:
+
+    1. POST-HOC drop on the full-graph-trained model (fp32+truncate,
+       deploy+truncate). Measured CATASTROPHIC (+556 mm): level0 becomes
+       module 0's fused output, whose statistics the lifter never saw.
+    2. TRAINED-TRUNCATED: train a second model from scratch WITH
+       hrnet_stage4_truncate=True (same init seed / data / steps) and
+       compare its P1 to the full-graph model's. This is the deployable
+       framing — a topology choice made before training, like choosing a
+       smaller width.
     """
     import numpy as np
 
@@ -340,9 +344,6 @@ def trained_truncate_ab(steps_n: int = 250):
 
     train_ds = SyntheticPoseDataset(size=128, image_shape=(64, 64), seed=0)
     val_ds = SyntheticPoseDataset(size=64, image_shape=(64, 64), seed=99)
-    model = ContextAwarePoseFormer(cfg=cfg.model)
-    opt = steps.make_optimizer(cfg, steps_per_epoch=100)
-    train_step = jax.jit(steps.make_train_step(model, cfg, opt))
 
     def batch_of(ds, idx):
         return steps.RawBatch(
@@ -351,17 +352,23 @@ def trained_truncate_ab(steps_n: int = 250):
             jnp.asarray(ds.joints_2d_crop[idx]),
         )
 
-    rng = np.random.RandomState(0)
-    state = steps.init_state(model, cfg, opt, jax.random.PRNGKey(0),
-                             batch_of(train_ds, np.arange(16)))
-    key = jax.random.PRNGKey(1)
-    for _ in range(steps_n):
-        idx = rng.randint(0, len(train_ds), 16)
-        state, aux = train_step(state, batch_of(train_ds, idx), key)
-    print(f"[s4tr] trained {steps_n} steps, "
-          f"final loss {float(aux['loss']):.4f}")
+    def train_model(train_cfg, tag):
+        model = ContextAwarePoseFormer(cfg=train_cfg.model)
+        opt = steps.make_optimizer(train_cfg, steps_per_epoch=100)
+        train_step = jax.jit(steps.make_train_step(model, train_cfg, opt))
+        rng = np.random.RandomState(0)
+        state = steps.init_state(model, train_cfg, opt, jax.random.PRNGKey(0),
+                                 batch_of(train_ds, np.arange(16)))
+        key = jax.random.PRNGKey(1)
+        aux = None
+        for _ in range(steps_n):
+            idx = rng.randint(0, len(train_ds), 16)
+            state, aux = train_step(state, batch_of(train_ds, idx), key)
+        print(f"[s4tr] {tag}: trained {steps_n} steps, "
+              f"final loss {float(aux['loss']):.4f}")
+        return state
 
-    def eval_p1(model_cfg, calib_n: int = 64):
+    def eval_p1(state, model_cfg, calib_n: int = 64):
         from contextaware_poseformer_tpu.data import augment
         from contextaware_poseformer_tpu.models import prepare_serving
 
@@ -400,15 +407,28 @@ def trained_truncate_ab(steps_n: int = 250):
             ),
         )
 
-    p1 = eval_p1(cfg.model)
-    p1t = eval_p1(with_truncate(cfg.model))
-    print(f"[s4tr] trained P1: fp32 {p1:.3f} mm | fp32+truncate "
+    # framing 1: full-graph training, post-hoc drop
+    state = train_model(cfg, "full topology")
+    p1 = eval_p1(state, cfg.model)
+    p1t = eval_p1(state, with_truncate(cfg.model))
+    print(f"[s4tr] trained P1: fp32 {p1:.3f} mm | fp32+POST-HOC-truncate "
           f"{p1t:.3f} mm | delta {p1t - p1:+.3f} mm")
     dep = cfglib.deploy(cfg).model
-    p1d = eval_p1(dep)
-    p1dt = eval_p1(with_truncate(dep))
-    print(f"[s4tr] trained P1: deploy {p1d:.3f} mm | deploy+truncate "
+    p1d = eval_p1(state, dep)
+    p1dt = eval_p1(state, with_truncate(dep))
+    print(f"[s4tr] trained P1: deploy {p1d:.3f} mm | deploy+POST-HOC-truncate "
           f"{p1dt:.3f} mm | delta vs fp32 {p1dt - p1:+.3f} mm")
+
+    # framing 2: train WITH the truncated topology from scratch
+    cfg_tr = dataclasses.replace(
+        cfg, model=with_truncate(cfg.model)
+    )
+    state_tr = train_model(cfg_tr, "truncated topology")
+    p1_tr = eval_p1(state_tr, cfg_tr.model)
+    p1_trd = eval_p1(state_tr, with_truncate(dep))
+    print(f"[s4tr] TRAINED-TRUNCATED P1: fp32 {p1_tr:.3f} mm "
+          f"(full-topology fp32 {p1:.3f} mm, delta {p1_tr - p1:+.3f}) | "
+          f"deploy {p1_trd:.3f} mm (delta vs own fp32 {p1_trd - p1_tr:+.3f})")
 
 
 def main():
