@@ -12,7 +12,15 @@ COCOeval(iouType='keypoints') protocol (test.py:126-132 runs that; the
 package is not available here): per-gt-area-scaled OKS with the published
 17 COCO keypoint sigmas, greedy score-ordered matching per image at 10
 thresholds .50:.05:.95, 101-point interpolated precision, areas
-all/medium/large, maxDets=20.
+all/medium/large, maxDets=20. Protocol subtleties reproduced: real-first /
+ignored-last gt visit order with the real-match break rule, crowd gts as
+multiply-matchable ignores, the bbox-fallback OKS for gts with no labeled
+joints, keypoint-extent detection areas, and the unmatched-detection
+area-range ignore. Exact-value golden fixtures with hand-derivable AP/AR
+pin the protocol in tests/test_coco_eval_golden.py (pycocotools cannot be
+installed in this environment, so the oracle is arithmetic, not the
+canonical binary — residual risk is limited to rules not exercised by
+those fixtures).
 """
 
 from __future__ import annotations
@@ -116,44 +124,78 @@ def decode_batch(score_map: np.ndarray, details: np.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def compute_oks(dt_kps: np.ndarray, gt_kps: np.ndarray, gt_area: float) -> float:
+def compute_oks(
+    dt_kps: np.ndarray,
+    gt_kps: np.ndarray,
+    gt_area: float,
+    gt_bbox: np.ndarray | None = None,
+) -> float:
     """Single-pair OKS (cocoeval computeOks): mean over LABELED gt joints of
-    exp(-d^2 / (2 * area * (2*sigma)^2))."""
+    exp(-d^2 / (2 * area * (2*sigma)^2)).
+
+    For gts with NO labeled joints (crowd/unlabeled people), the canonical
+    protocol measures each detection joint's distance to a bbox inflated by
+    one box size on every side and averages over ALL joints — so detections
+    sitting on an unlabeled person can still match (and be ignored with) it
+    instead of counting as false positives.
+    """
+    var = (2 * OKS_SIGMAS) ** 2
     v = gt_kps[:, 2]
     mask = v > 0
-    if not mask.any():
+    if mask.any():
+        d2 = np.sum((dt_kps[:, :2] - gt_kps[:, :2]) ** 2, axis=1)
+        e = d2 / var / (gt_area + np.spacing(1)) / 2.0
+        return float(np.mean(np.exp(-e[mask])))
+    if gt_bbox is None:
         return 0.0
-    d2 = np.sum((dt_kps[:, :2] - gt_kps[:, :2]) ** 2, axis=1)
-    var = (2 * OKS_SIGMAS) ** 2
-    e = d2 / var / (gt_area + np.spacing(1)) / 2.0
-    return float(np.mean(np.exp(-e[mask])))
+    bx, by, bw, bh = [float(t) for t in gt_bbox]
+    x0, x1 = bx - bw, bx + 2 * bw
+    y0, y1 = by - bh, by + 2 * bh
+    z = np.zeros(NUM_JOINTS)
+    dx = np.maximum(z, x0 - dt_kps[:, 0]) + np.maximum(z, dt_kps[:, 0] - x1)
+    dy = np.maximum(z, y0 - dt_kps[:, 1]) + np.maximum(z, dt_kps[:, 1] - y1)
+    e = (dx**2 + dy**2) / var / (gt_area + np.spacing(1)) / 2.0
+    return float(np.mean(np.exp(-e)))
 
 
 def _match_image(dts, gts, thr: float, area_rng) -> tuple[list, list]:
     """Greedy score-ordered matching for one image at one OKS threshold.
-    Returns (dt_matched flags aligned with dts, dt_ignore flags)."""
+    Returns (dt_matched flags aligned with dts, dt_ignore flags).
+
+    Canonical-protocol details reproduced here:
+    - gts are visited real-first / ignored-last (the reference sorts by the
+      ignore flag with a stable sort before matching);
+    - once a detection holds a real match, the scan BREAKS when it reaches
+      the ignored tail (a real match is never traded for an ignored one);
+    - crowd gts are always ignored and may absorb multiple detections;
+    - an UNMATCHED detection whose own keypoint-extent area falls outside
+      the evaluated area range is ignored rather than counted as a false
+      positive.
+    """
     gt_ignore = [
-        not (area_rng[0] <= g["area"] < area_rng[1]) or g["num_keypoints"] == 0
+        g["crowd"]
+        or not (area_rng[0] <= g["area"] < area_rng[1])
+        or g["num_keypoints"] == 0
         for g in gts
     ]
+    order = sorted(range(len(gts)), key=lambda gi: gt_ignore[gi])
     gt_taken = [False] * len(gts)
     dt_matched, dt_ignore = [], []
     for dt in dts:
         best, best_oks = -1, min(thr, 1 - 1e-10)
-        for gi, g in enumerate(gts):
-            if gt_taken[gi] and not gt_ignore[gi]:
+        for gi in order:
+            g = gts[gi]
+            if gt_taken[gi] and not g["crowd"]:
                 continue
-            # prefer real gts: once matched to a real gt, stop considering
-            # ignored ones (cocoeval: break when moving into ignore region
-            # with a real match in hand)
             if best > -1 and not gt_ignore[best] and gt_ignore[gi]:
                 break
-            oks = compute_oks(dt["kps"], g["kps"], g["area"])
+            oks = compute_oks(dt["kps"], g["kps"], g["area"], g.get("bbox"))
             if oks > best_oks:
                 best, best_oks = gi, oks
         if best == -1:
+            out_of_range = not (area_rng[0] <= dt["area"] < area_rng[1])
             dt_matched.append(False)
-            dt_ignore.append(False)
+            dt_ignore.append(out_of_range)
         else:
             gt_taken[best] = True
             dt_matched.append(not gt_ignore[best])
@@ -170,17 +212,23 @@ def oks_ap(results: list[dict], gt_annotations: list[dict]) -> dict[str, float]:
     by_img_dt: dict[int, list] = {}
     for r in results:
         kps = np.asarray(r["keypoints"], np.float64).reshape(NUM_JOINTS, 3)
+        # canonical loadRes assigns each keypoint result its keypoint-extent
+        # bbox area — the area the unmatched-detection range-ignore rule uses
+        ext = (kps[:, 0].max() - kps[:, 0].min()) * (
+            kps[:, 1].max() - kps[:, 1].min())
         by_img_dt.setdefault(int(r["image_id"]), []).append(
-            {"kps": kps, "score": float(r["score"])})
+            {"kps": kps, "score": float(r["score"]), "area": float(ext)})
     by_img_gt: dict[int, list] = {}
     for g in gt_annotations:
-        if g.get("iscrowd", 0):
-            continue
         kps = np.asarray(g["keypoints"], np.float64).reshape(NUM_JOINTS, 3)
         area = float(g.get("area") or g["bbox"][2] * g["bbox"][3])
         by_img_gt.setdefault(int(g["image_id"]), []).append(
             {"kps": kps, "area": area,
-             "num_keypoints": int(g.get("num_keypoints", int((kps[:, 2] > 0).sum())))})
+             "crowd": bool(g.get("iscrowd", 0)),
+             "bbox": (np.asarray(g["bbox"], np.float64)
+                      if g.get("bbox") is not None else None),
+             "num_keypoints": int(g.get(
+                 "num_keypoints", int((kps[:, 2] > 0).sum())))})
 
     img_ids = sorted(set(by_img_gt) | set(by_img_dt))
 
@@ -196,6 +244,7 @@ def oks_ap(results: list[dict], gt_annotations: list[dict]) -> dict[str, float]:
                              key=lambda d: -d["score"])[:MAX_DETS]
                 n_gt += sum(
                     rng[0] <= g["area"] < rng[1] and g["num_keypoints"] > 0
+                    and not g["crowd"]
                     for g in gts)
                 m, ig = _match_image(dts, gts, float(thr), rng)
                 scores += [d["score"] for d in dts]
@@ -227,9 +276,13 @@ def oks_ap(results: list[dict], gt_annotations: list[dict]) -> dict[str, float]:
         ap = float(np.mean(valid)) if valid else float("nan")
         rec = [v for v in recalls_at_thr.values() if not np.isnan(v)]
         ar = float(np.mean(rec)) if rec else float("nan")
+        # round the float keys: np.arange(0.5, 1.0, 0.05) lands on
+        # 0.7500000000000001, which a literal .get(0.75) would miss
+        # (caught by tests/test_coco_eval_golden.py — AP75 was NaN)
         per_thr = {
-            thr: (float(np.mean(p)) if p is not None else float("nan"))
-            for thr, p in zip(map(float, OKS_THRESHOLDS), precisions)
+            round(float(thr), 2): (
+                float(np.mean(p)) if p is not None else float("nan"))
+            for thr, p in zip(OKS_THRESHOLDS, precisions)
         }
         return ap, per_thr, ar
 
