@@ -90,8 +90,13 @@ def main(argv=None):
     p.add_argument("--mpi", action="store_true",
                    help="check the 3DHP (no-deformable) variant")
     p.add_argument("--component", default="lifter",
-                   choices=["lifter", "backbone", "composite"])
+                   choices=["lifter", "backbone", "composite", "trajectory"])
     p.add_argument("--batch", type=int, default=3)
+    p.add_argument("--steps", type=int, default=12,
+                   help="trajectory only: number of optimizer steps")
+    p.add_argument("--lr", type=float, default=None,
+                   help="trajectory only: override preset lr (see "
+                        "check_trajectory docstring on chaos vs lr)")
     p.add_argument("--roundtrip", action="store_true",
                    help="composite only: save a DDP-prefixed best_epoch.bin "
                         "and ingest it through the production --model-ckpt "
@@ -111,6 +116,12 @@ def main(argv=None):
             return 0
         return check_composite(args.backbone, args.batch,
                                roundtrip=args.roundtrip)
+    if args.component == "trajectory":
+        if not os.path.isdir(REFERENCE_ROOT):
+            print("SKIP: /root/reference not present")
+            return 0
+        return check_trajectory(args.backbone, args.batch,
+                                steps_n=args.steps, lr=args.lr)
 
     if not os.path.isdir(REFERENCE_ROOT):
         print("SKIP: /root/reference not present")
@@ -415,6 +426,207 @@ def check_composite(backbone: str = "hrnet_32", batch: int = 2,
     ok = rel < 1e-4
     print("COMPOSITE PARITY", "PASS" if ok else "FAIL")
     return 0 if ok else 1
+
+
+def check_trajectory(backbone: str = "hrnet_32", batch: int = 4,
+                     steps_n: int = 12, steps_per_epoch: int = 4,
+                     grad_clip: float = 1.0, lr: float | None = None) -> int:
+    """Training-TRAJECTORY parity against the reference recipe (VERDICT r3
+    item 4 — the missing leg: forward parity is proven elsewhere, this pins
+    the optimizer dynamics).
+
+    Same converted init, same synthetic batches, both sides training the
+    LIFTER (the reference's only trainable partition, train.py:337-345):
+
+      torch:  the ACTUAL reference PoseTransformer + their recipe verbatim —
+              AdamW(param_dicts, lr, weight_decay=0.1) (train.py:337-345),
+              clip_grad_norm_(params, grad_clip / volume_net_lr)
+              (train.py:196-200), per-epoch `lr *= lr_decay` written into
+              param_groups (train.py:410-412), their MPJPE criterion
+              (loss.py:16-22). drop_path is inert (identity stub; the
+              reference's own p>0 schedule is stochastic and can't be
+              trajectory-compared).
+      ours:   steps.make_optimizer + lr_schedule (the production optimizer
+              stack: optax.adamw under multi_transform with the 1/lr-scaled
+              clip), losses.MPJPE, deterministic forward.
+
+    Asserts per-step losses and final parameters agree within fp32
+    accumulation tolerance.
+
+    lr NOTE (measured): at the preset lr (1e-4) the recipe is CHAOTIC on
+    synthetic data — per-step losses swing 0.6 -> 10.4 -> 1.2 and the
+    deformable sampler's gradients are piecewise in the offsets (bilinear
+    cell crossings), so fp32 noise amplifies exponentially: losses track to
+    ~1e-6 for 5 steps, then drift to ~2e-3 by step 11 with sampling_offsets
+    diverging. That is trajectory sensitivity, not an optimizer-math
+    difference — at lr=1e-5 the SAME stack matches torch to 3e-6 loss /
+    2e-3 worst-param over 12 steps, including the clip-binding regime
+    (grad_clip=1e-7 -> threshold 0.01, clipping every step). Run with
+    --lr 1e-5 for the deterministic comparison (what the test suite pins).
+    """
+    import dataclasses
+
+    import numpy as np
+    import torch
+
+    import jax
+
+    # fp32 trajectory comparison needs the CPU backend: on the TPU, fp32
+    # matmuls default to bf16 MXU passes (~1e-3 forward error), which
+    # compounds through the optimizer and swamps the tolerance. The parity
+    # test suite forces CPU the same way (tests/conftest.py).
+    jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import optax
+
+    from contextaware_poseformer_tpu.config import preset
+    from contextaware_poseformer_tpu.models import PoseLifter
+    from contextaware_poseformer_tpu.models.convert import convert_lifter
+    from contextaware_poseformer_tpu.train import losses, steps
+    from contextaware_poseformer_tpu.train.steps import TrainState
+
+    ref_mod = _load_reference_lifter(False)
+    cfg = preset(f"h36m_{backbone}")
+    train_over = {"grad_clip": grad_clip}
+    if lr is not None:
+        train_over["lr"] = lr
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, **train_over)
+    )
+    lc = cfg.model.lifter
+    bb = cfg.model.backbone
+
+    class RefCfg:
+        base_dim = bb.width if bb.kind == "hrnet" else 256
+        embed_dim_ratio = lc.embed_dim_ratio
+        depth = lc.depth
+        levels = lc.levels
+
+    torch.manual_seed(0)
+    ref_model = ref_mod.PoseTransformer(
+        RefCfg, backbone=bb.kind if bb.kind == "cpn" else f"hrnet_{bb.width}"
+    )
+    ref_model.train()  # all dropout probs are 0; DropPath stub is identity
+
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    params0 = convert_lifter(
+        sd, depth=lc.depth, levels=lc.levels, use_deformable=lc.use_deformable
+    )
+
+    # fixed synthetic stream, shared verbatim by both sides
+    rng = np.random.RandomState(7)
+    j = lc.num_joints
+    h, w = cfg.model.image_shape
+    sizes = [(h // s, w // s) for s in bb.feature_strides]
+    batches = []
+    for _ in range(steps_n):
+        batches.append({
+            "kp2d": rng.uniform(-1, 1, (batch, j, 2)).astype(np.float32),
+            "ref": rng.uniform(-0.9, 0.9, (batch, j, 2)).astype(np.float32),
+            "feats": [rng.randn(batch, hh, ww, c).astype(np.float32) / 4
+                      for (hh, ww), c in zip(sizes, bb.feature_dims)],
+            "gt": (rng.randn(batch, j, 3).astype(np.float32) * 0.1),
+        })
+
+    # ---- torch trajectory (reference recipe verbatim) ----
+    lr = cfg.train.lr
+    criterion = _load_reference_loss().MPJPE()
+    param_dicts = [{
+        "params": [p for _, p in ref_model.named_parameters()
+                   if p.requires_grad],
+        "lr": lr,
+    }]
+    opt = torch.optim.AdamW(param_dicts, weight_decay=0.1)
+    torch_losses = []
+    for step, b in enumerate(batches):
+        t_feats = [torch.from_numpy(np.transpose(f, (0, 3, 1, 2)))
+                   for f in b["feats"]]
+        out = ref_model(
+            torch.from_numpy(b["kp2d"]), torch.from_numpy(b["ref"]), t_feats
+        ).reshape(batch, j, 3)
+        loss = criterion(out, torch.from_numpy(b["gt"]))
+        opt.zero_grad()
+        loss.backward()
+        if grad_clip:
+            torch.nn.utils.clip_grad_norm_(
+                ref_model.parameters(), grad_clip / cfg.train.lr
+            )
+        opt.step()
+        torch_losses.append(float(loss.detach()))
+        if (step + 1) % steps_per_epoch == 0:  # train.py:410-412
+            lr *= cfg.train.lr_decay
+            for pg in opt.param_groups:
+                pg["lr"] = lr
+    final_torch = {k: v.detach().numpy()
+                   for k, v in ref_model.state_dict().items()}
+
+    # ---- our trajectory (production optimizer stack) ----
+    model = PoseLifter(
+        cfg=dataclasses.replace(lc, sampler="gather"),
+        feature_dims=bb.feature_dims,
+    )
+    optimizer = steps.make_optimizer(cfg, steps_per_epoch=steps_per_epoch)
+    tree = {"lifter": params0}
+    state = TrainState(tree, optimizer.init(tree), jnp.zeros((), jnp.int32))
+    mpjpe = losses.LOSSES[cfg.train.loss]
+
+    @jax.jit
+    def train_step(state, kp2d, ref, feats, gt):
+        def compute_loss(tree):
+            pred = model.apply({"params": tree["lifter"]}, kp2d, ref, feats)
+            return mpjpe(pred, gt)
+
+        loss, grads = jax.value_and_grad(compute_loss)(state.params)
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    ours_losses = []
+    for b in batches:
+        state, loss = train_step(
+            state, jnp.asarray(b["kp2d"]), jnp.asarray(b["ref"]),
+            [jnp.asarray(f) for f in b["feats"]], jnp.asarray(b["gt"]))
+        ours_losses.append(float(loss))
+
+    # ---- compare ----
+    dl = np.abs(np.asarray(torch_losses) - np.asarray(ours_losses))
+    rel_l = dl / np.maximum(np.abs(torch_losses), 1e-9)
+    print("per-step losses (torch vs ours):")
+    for s, (a, o) in enumerate(zip(torch_losses, ours_losses)):
+        print(f"  step {s:2d}: {a:.6f} vs {o:.6f} (rel {rel_l[s]:.2e})")
+
+    # compare final params through the same converter mapping
+    final_ours_tree = convert_lifter(
+        final_torch, depth=lc.depth, levels=lc.levels,
+        use_deformable=lc.use_deformable,
+    )
+    flat_t = {jax.tree_util.keystr(k): v for k, v in
+              jax.tree_util.tree_flatten_with_path(final_ours_tree)[0]}
+    flat_o = {jax.tree_util.keystr(k): v for k, v in
+              jax.tree_util.tree_flatten_with_path(state.params["lifter"])[0]}
+    assert flat_t.keys() == flat_o.keys()
+    worst_key, worst = None, 0.0
+    for k in flat_t:
+        a, o = np.asarray(flat_t[k]), np.asarray(flat_o[k])
+        scale = np.sqrt(np.mean(a**2)) + 1e-12
+        r = float(np.abs(a - o).max() / scale)
+        if r > worst:
+            worst_key, worst = k, r
+    print(f"final-param worst max-rel-to-RMS: {worst:.3e} at {worst_key}")
+    ok = rel_l.max() < 5e-4 and worst < 5e-3
+    print("TRAJECTORY PARITY", "PASS" if ok else "FAIL",
+          f"(loss rel max {rel_l.max():.2e})")
+    return 0 if ok else 1
+
+
+def _load_reference_loss():
+    path = os.path.join(REFERENCE_ROOT, "ContextPose/mvn/models/loss.py")
+    spec = importlib.util.spec_from_file_location("ref_loss", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
 
 
 if __name__ == "__main__":

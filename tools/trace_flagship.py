@@ -68,6 +68,8 @@ def main():
                     help="serve_static_amax=True on top of deploy")
     ap.add_argument("--native-pyramid", action="store_true",
                     help="cpn_native_pyramid=True (CPN presets only)")
+    ap.add_argument("--truncate", action="store_true",
+                    help="hrnet_stage4_truncate=True (hrnet presets only)")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--top", type=int, default=40)
     args = ap.parse_args()
@@ -100,6 +102,13 @@ def main():
             model_cfg,
             backbone=dataclasses.replace(
                 model_cfg.backbone, cpn_native_pyramid=True
+            ),
+        )
+    if args.truncate:
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            backbone=dataclasses.replace(
+                model_cfg.backbone, hrnet_stage4_truncate=True
             ),
         )
     model = ContextAwarePoseFormer(cfg=model_cfg, dtype=jnp.bfloat16)
