@@ -227,6 +227,10 @@ class DataConfig:
     test_npz: str = "data/3dhp/data_test_3dhp.npz"
     num_prefetch: int = 2
     num_workers: int = 8
+    # packed raw-frame stores (data/frame_store.py, built with
+    # tools/build_frame_store.py): zero-decode host loading; "" = off
+    train_frame_store: str = ""
+    val_frame_store: str = ""
 
 
 @dataclass(frozen=True)

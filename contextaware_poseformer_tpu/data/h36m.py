@@ -45,6 +45,10 @@ class H36MDataset:
     image_paths: np.ndarray  # (N,) relative jpeg paths
     image_shape: tuple[int, int] = (256, 192)  # (H, W)
     precropped: bool = False  # images on disk already 192x256 crops
+    # packed raw-frame store (data/frame_store.py): (N, H, W, 3) uint8
+    # memmap + the original-label index of each retained item
+    frame_store: np.ndarray | None = None
+    store_idx: np.ndarray | None = None
 
     @staticmethod
     def from_pickle(
@@ -53,14 +57,33 @@ class H36MDataset:
         image_shape: tuple[int, int] = (256, 192),
         precropped: bool = False,
         retain_every_n: int = 1,
+        frame_store: str | None = None,
     ) -> "H36MDataset":
         """retain_every_n mirrors val.retain_every_n_frames_in_test
-        (human36m.yaml:86, human36m.py:129)."""
+        (human36m.yaml:86, human36m.py:129). frame_store: path to a packed
+        raw-frame .npy (tools/build_frame_store.py) — zero-decode loading;
+        accepts a store built over the FULL pickle (retain mapping applied
+        here) or over this exact retained view."""
         with open(labels_path, "rb") as f:
             labels = pickle.load(f)
+        full_n = len(labels)
         if retain_every_n > 1:
             labels = labels[::retain_every_n]
         n = len(labels)
+        store, store_idx = None, None
+        if frame_store:
+            from contextaware_poseformer_tpu.data import frame_store as fs
+
+            store = fs.open_store(frame_store, image_shape)
+            if store.shape[0] == full_n:
+                store_idx = np.arange(full_n, dtype=np.int64)[::retain_every_n]
+            elif store.shape[0] == n:
+                store_idx = np.arange(n, dtype=np.int64)
+            else:
+                raise ValueError(
+                    f"frame store has {store.shape[0]} frames; labels have "
+                    f"{full_n} (retained: {n})"
+                )
         get = lambda key, shape, dt=np.float32: np.asarray(  # noqa: E731
             [l[key] for l in labels], dtype=dt
         ).reshape(n, *shape)
@@ -98,6 +121,8 @@ class H36MDataset:
             image_paths=paths,
             image_shape=image_shape,
             precropped=precropped,
+            frame_store=store,
+            store_idx=store_idx,
         )
 
     def __len__(self) -> int:
@@ -116,14 +141,22 @@ class H36MDataset:
         for name in (
             "joints_3d", "joints_2d", "joints_2d_crop", "center", "scale",
             "action_idx", "subject_idx", "video_idx", "image_paths",
+            "store_idx",
         ):
-            setattr(self, name, getattr(self, name)[start:end])
+            if getattr(self, name) is not None:
+                setattr(self, name, getattr(self, name)[start:end])
         return dist_size
 
     def load_batch(self, idxs: np.ndarray) -> np.ndarray | None:
-        """Whole-batch decode+crop via the native C++ loader (one GIL-free
-        call over a thread pool); None if the native lib is unavailable and
-        the pipeline should fall back to per-item load_image."""
+        """Whole-batch load: packed raw-frame store when configured (one
+        mmap fancy-index — zero decode), else decode+crop via the native
+        C++ loader (one GIL-free call over a thread pool); None if neither
+        is available and the pipeline should fall back to per-item
+        load_image."""
+        if self.frame_store is not None:
+            return np.ascontiguousarray(
+                self.frame_store[self.store_idx[np.asarray(idxs)]]
+            )
         from contextaware_poseformer_tpu.data import native_loader
 
         if not native_loader.available():
@@ -142,6 +175,8 @@ class H36MDataset:
 
     def load_image(self, idx: int) -> np.ndarray:
         """Cropped (H, W, 3) uint8 BGR frame (human36m.py:569-571)."""
+        if self.frame_store is not None:
+            return np.asarray(self.frame_store[int(self.store_idx[idx])])
         path = os.path.join(self.root, str(self.image_paths[idx]))
         h, w = self.image_shape
         if cv2 is not None:

@@ -61,6 +61,10 @@ class Mpi3dhpDataset:
     # multi-frame test windows can gather 2D context across them exactly as
     # the reference does (generator_3dhp.py:46 filters chunk CENTERS only)
     valid_mask: np.ndarray | None = None
+    # packed raw-frame store (data/frame_store.py): built in THIS dataset's
+    # item order (same loader args), validated by length at open
+    frame_store: np.ndarray | None = None
+    store_idx: np.ndarray | None = None
 
     def __post_init__(self):
         if self.action_idx is None:
@@ -80,14 +84,21 @@ class Mpi3dhpDataset:
         end = len(self) if rank == world_size - 1 else start + n
         for name in (
             "joints_3d", "joints_2d", "joints_2d_crop", "image_paths",
-            "seq_idx", "action_idx",
+            "seq_idx", "action_idx", "store_idx",
         ):
-            setattr(self, name, getattr(self, name)[start:end])
+            if getattr(self, name) is not None:
+                setattr(self, name, getattr(self, name)[start:end])
         return dist_size
 
     def load_batch(self, idxs: np.ndarray) -> np.ndarray | None:
-        """Native whole-batch decode (frames are pre-cropped on disk,
-        convert_to_small.py:282-289); None -> per-item fallback."""
+        """Whole-batch load: packed raw-frame store when configured (mmap
+        fancy-index, zero decode), else native whole-batch decode (frames
+        are pre-cropped on disk, convert_to_small.py:282-289); None ->
+        per-item fallback."""
+        if self.frame_store is not None:
+            return np.ascontiguousarray(
+                self.frame_store[self.store_idx[np.asarray(idxs)]]
+            )
         from contextaware_poseformer_tpu.data import native_loader
 
         if not native_loader.available():
@@ -98,6 +109,8 @@ class Mpi3dhpDataset:
         )
 
     def load_image(self, idx: int) -> np.ndarray:
+        if self.frame_store is not None:
+            return np.asarray(self.frame_store[int(self.store_idx[idx])])
         path = os.path.join(self.root, str(self.image_paths[idx]))
         img = cv2.imread(path, cv2.IMREAD_COLOR | cv2.IMREAD_IGNORE_ORIENTATION)
         if img is None:
@@ -115,7 +128,22 @@ def _center_3d(data_3d: np.ndarray) -> np.ndarray:
     return out
 
 
-def load_train(npz_path: str, img_root: str) -> Mpi3dhpDataset:
+def _open_store(frame_store, image_shape, n: int):
+    if not frame_store:
+        return None, None
+    from contextaware_poseformer_tpu.data import frame_store as fs
+
+    store = fs.open_store(frame_store, image_shape)
+    if store.shape[0] != n:
+        raise ValueError(
+            f"frame store has {store.shape[0]} frames; dataset has {n} "
+            "(build it with the same loader arguments)"
+        )
+    return store, np.arange(n, dtype=np.int64)
+
+
+def load_train(npz_path: str, img_root: str,
+               frame_store: str | None = None) -> Mpi3dhpDataset:
     data = np.load(npz_path, allow_pickle=True)["data"].item()
     j3, j2, j2c, paths, seqi, names = [], [], [], [], [], []
     for seq in sorted(data.keys()):
@@ -139,6 +167,7 @@ def load_train(npz_path: str, img_root: str) -> Mpi3dhpDataset:
             key = f"{subject_name} {seq_name} {cam}"
             names.append(key)
             seqi.extend([len(names) - 1] * n)
+    store, store_idx = _open_store(frame_store, (256, 192), len(paths))
     return Mpi3dhpDataset(
         root=img_root,
         joints_3d=np.concatenate(j3),
@@ -147,11 +176,14 @@ def load_train(npz_path: str, img_root: str) -> Mpi3dhpDataset:
         image_paths=np.asarray(paths),
         seq_idx=np.asarray(seqi, np.int32),
         seq_names=tuple(names),
+        frame_store=store,
+        store_idx=store_idx,
     )
 
 
 def load_test(
-    npz_path: str, img_root: str, *, keep_invalid: bool = False
+    npz_path: str, img_root: str, *, keep_invalid: bool = False,
+    frame_store: str | None = None,
 ) -> Mpi3dhpDataset:
     """Test split. keep_invalid=False (live single-frame path) drops invalid
     frames outright — identical to filtering chunk centers at frames=1.
@@ -188,6 +220,8 @@ def load_test(
         seq_idx=np.asarray(seqi, np.int32),
         seq_names=tuple(names),
         valid_mask=np.concatenate(vmask) if keep_invalid else None,
+        **dict(zip(("frame_store", "store_idx"),
+                   _open_store(frame_store, (256, 192), len(paths)))),
     )
 
 

@@ -48,8 +48,32 @@ def _use_two_stage(h: int, w: int, c: int) -> bool:
     return h * w >= 1024 and c < 64
 
 
+# project-then-sample on SEPARABLE (two-stage) levels — the big
+# small-channel level0 (64x48xC32/48) that round 2's in-kernel projection
+# gate excluded (VERDICT r3: "untried headroom"). Modes:
+#   "off":      level stays unprojected two-stage; samples project after
+#               the kernel (round-2/3 shipped behavior).
+#   "fold":     fold the projection into the W-axis reduction: the one-hot
+#               selection matrix S (W*C, C) becomes S @ Wp (W*C, hd), so the
+#               dominant row-interp matmul keeps full W*C lanes and the
+#               second matmul shrinks C/hd-fold. Bias adds after sampling
+#               (exact under border mode: mixing weights sum to 1).
+#   "onestage": project the whole map in VMEM (existing one-stage proj path)
+#               and sample hd output lanes — C/hd fewer sampling FLOPs but
+#               hd/128 lane fill on the big M @ Fp matmul.
+# Measured round 4 (experiments/preproject2_ab.py, real chip): see PERF.md.
+PREPROJECT_2STAGE = os.environ.get("CAPF_PREPROJECT_2STAGE", "off")
+
+
+def _proj2_mode() -> str:
+    mode = PREPROJECT_2STAGE
+    if mode not in ("off", "fold", "onestage"):
+        raise ValueError(f"CAPF_PREPROJECT_2STAGE={mode!r}")
+    return mode
+
+
 def _sample_body(pts, f2d, *, h, w, c, border, align_corners, precision,
-                 two_stage, out_dtype):
+                 two_stage, out_dtype, proj=None):
     """Shared in-VMEM sampling math: pts (P, 2), f2d is (H*W, C) for the
     one-stage form or (H, W*C) for the separable two-stage form.
 
@@ -74,12 +98,12 @@ def _sample_body(pts, f2d, *, h, w, c, border, align_corners, precision,
     return _sample_body_xy(
         pts[:, 0], pts[:, 1], f2d, h=h, w=w, c=c, border=border,
         align_corners=align_corners, precision=precision,
-        two_stage=two_stage, out_dtype=out_dtype,
+        two_stage=two_stage, out_dtype=out_dtype, proj=proj,
     )
 
 
 def _sample_body_xy(xn, yn, f2d, *, h, w, c, border, align_corners,
-                    precision, two_stage, out_dtype):
+                    precision, two_stage, out_dtype, proj=None):
     """_sample_body on separate normalized-coordinate vectors xn/yn (P,) —
     lets callers with a packed lane layout unpack in-kernel and skip the
     (P, 2) points relayout entirely."""
@@ -122,6 +146,22 @@ def _sample_body_xy(xn, yn, f2d, *, h, w, c, border, align_corners,
         ci = jax.lax.broadcasted_iota(jnp.int32, (w * c, c), 0) % c
         cj = jax.lax.broadcasted_iota(jnp.int32, (w * c, c), 1)
         sel = jnp.where(ci == cj, 1.0, 0.0)
+        bp = None
+        if proj is not None:
+            # PREPROJECT_2STAGE="fold": S @ Wp gives S_p[w*C+c, d] =
+            # Wp[c, d] — the reduction matmul then BOTH blends columns and
+            # projects C -> hd (bias after: border-mode weights sum to 1,
+            # same convention as the aggregate epilogue).
+            wp, bp = proj
+            if precision == "highest":
+                sel = jnp.dot(sel, wp.astype(jnp.float32),
+                              preferred_element_type=jnp.float32,
+                              precision=hi)
+            else:
+                sel = jnp.dot(sel.astype(jnp.bfloat16),
+                              wp.astype(jnp.bfloat16),
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.DEFAULT)
         if precision == "highest":
             g = jnp.dot(rowv, f2d.astype(jnp.float32),
                         preferred_element_type=jnp.float32, precision=hi)
@@ -135,6 +175,8 @@ def _sample_body_xy(xn, yn, f2d, *, h, w, c, border, align_corners,
                           sel.astype(jnp.bfloat16),
                           preferred_element_type=jnp.float32,
                           precision=jax.lax.Precision.DEFAULT)
+        if bp is not None:
+            out = out + bp
         return out.astype(out_dtype)
 
     iota_hw = jax.lax.broadcasted_iota(jnp.int32, (p, h * w), 1)
@@ -310,20 +352,26 @@ def sample_points(
 
 def kernel_can_preproject(h: int, w: int, c: int, hd: int) -> bool:
     """True when the fused kernel can run a channel projection (C -> hd)
-    IN-VMEM before sampling level (h, w, c): the projection must shrink the
-    channel count and the level must be on the one-stage path (the
-    separable body's (H, W*C) view cannot be re-viewed after an in-kernel
-    matmul — Mosaic forbids lane-folding reshapes)."""
-    return c > hd and not _use_two_stage(h, w, c)
+    IN-VMEM before sampling level (h, w, c). One-stage levels project the
+    map (or fold into the mixing matmul — same thing); SEPARABLE levels
+    need PREPROJECT_2STAGE: "fold" routes the projection through the
+    column-reduction matmul (the (H, W*C) view is never re-viewed — Mosaic
+    forbids lane-folding reshapes), "onestage" forces the one-stage body on
+    the projected hd-lane map."""
+    if c <= hd:
+        return False
+    return not _use_two_stage(h, w, c) or _proj2_mode() != "off"
 
 
 def _sample_multi_kernel(pts_ref, *rest, shapes, proj_dims, border,
-                         align_corners, precision):
+                         align_corners, precision, proj2="off"):
     """pts (1, L*P_pad, 2) packed level-major; rest = L feature refs, then
     (kernel, bias) ref pairs for each level with proj_dims[l] set, then L
     output refs. Projected levels compute Fp = F @ W + b in VMEM (bilinear
     sampling is channel-linear, so sampling Fp equals projecting samples —
-    models/lifter.py pre_project) and sample hd lanes instead of C."""
+    models/lifter.py pre_project) and sample hd lanes instead of C; a
+    projected SEPARABLE level under proj2="fold" instead folds W into the
+    two-stage column-reduction matmul (see PREPROJECT_2STAGE)."""
     levels = len(shapes)
     f_refs = rest[:levels]
     n_proj = sum(1 for d in proj_dims if d)
@@ -336,26 +384,33 @@ def _sample_multi_kernel(pts_ref, *rest, shapes, proj_dims, border,
         pts = pts_ref[0, l * p_pad:(l + 1) * p_pad]
         f2d = f_refs[l][0]
         c_out = c
+        proj = None
         two_stage = _use_two_stage(h, w, c)
         if proj_dims[l]:
             wp, bp = wb_refs[2 * pi][...], wb_refs[2 * pi + 1][...]
             pi += 1
-            if precision == "highest":
-                f2d = jnp.dot(f2d.astype(jnp.float32),
-                              wp.astype(jnp.float32),
-                              preferred_element_type=jnp.float32,
-                              precision=hi) + bp
-            else:
-                f2d = jnp.dot(f2d.astype(jnp.bfloat16),
-                              wp.astype(jnp.bfloat16),
-                              preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.DEFAULT) + bp
             c_out = proj_dims[l]
-            two_stage = False
+            if two_stage and proj2 == "fold":
+                proj = (wp, bp)
+            else:
+                if precision == "highest":
+                    f2d = jnp.dot(f2d.astype(jnp.float32),
+                                  wp.astype(jnp.float32),
+                                  preferred_element_type=jnp.float32,
+                                  precision=hi) + bp
+                else:
+                    f2d = jnp.dot(f2d.astype(jnp.bfloat16),
+                                  wp.astype(jnp.bfloat16),
+                                  preferred_element_type=jnp.float32,
+                                  precision=jax.lax.Precision.DEFAULT) + bp
+                two_stage = False
+        # fold keeps the ORIGINAL c for the two-stage index math (the
+        # (H, W*C) layout is unprojected); the output width is sel's
+        # projected dim instead.
         out_refs[l][0] = _sample_body(
-            pts, f2d, h=h, w=w, c=c_out, border=border,
-            align_corners=align_corners, precision=precision,
-            two_stage=two_stage, out_dtype=out_refs[l].dtype,
+            pts, f2d, h=h, w=w, c=(c if proj is not None else c_out),
+            border=border, align_corners=align_corners, precision=precision,
+            two_stage=two_stage, out_dtype=out_refs[l].dtype, proj=proj,
         )
 
 
@@ -379,10 +434,11 @@ def _multi_fwd_impl(features, points, projs=None, biases=None, *,
         (w.shape[-1] if w is not None else 0) for w in projs
     )
     shapes = tuple(f.shape[1:] for f in features)
+    proj2 = _proj2_mode()
     f_ins, f_specs = [], []
     for f, d in zip(features, proj_dims):
         _, h, w, c = f.shape
-        if _use_two_stage(h, w, c) and not d:
+        if _use_two_stage(h, w, c) and (not d or proj2 == "fold"):
             f_ins.append(f.reshape(b, h, w * c))
             f_specs.append(pl.BlockSpec((1, h, w * c), lambda i: (i, 0, 0),
                                         memory_space=pltpu.VMEM))
@@ -406,7 +462,7 @@ def _multi_fwd_impl(features, points, projs=None, biases=None, *,
     kernel = functools.partial(
         _sample_multi_kernel, shapes=shapes, proj_dims=proj_dims,
         border=padding_mode == "border", align_corners=align_corners,
-        precision=precision,
+        precision=precision, proj2=proj2,
     )
     outs = pl.pallas_call(
         kernel,
@@ -428,6 +484,9 @@ def _multi_fwd_impl(features, points, projs=None, biases=None, *,
         ],
         cost_estimate=pl.CostEstimate(
             flops=sum(
+                2 * b * (p_pad * h * w * c + p_pad * w * c * co
+                         + w * c * c * co)
+                if (d and proj2 == "fold" and _use_two_stage(h, w, c)) else
                 2 * b * (p_pad * h * w * co + (h * w * c * co if d else 0))
                 for (h, w, c), co, d in zip(shapes, out_c, proj_dims)
             ),
@@ -1041,15 +1100,19 @@ def _vmem_level_groups(shapes, p_pad: int, feat_bytes: int,
     proj_dims[l] (in-kernel projection to hd lanes) adds the projected
     feature copy and shrinks the sampled output."""
     est = []
+    proj2 = _proj2_mode()
     for i, (h, w, c) in enumerate(shapes):
         d = proj_dims[i] if proj_dims else 0
         co = d or c
         e = h * w * c * feat_bytes + p_pad * co * feat_bytes  # feature + out
-        if d:
-            e += h * w * d * 4  # in-kernel projected copy (f32)
-        if _use_two_stage(h, w, c) and not d:
+        if _use_two_stage(h, w, c) and (not d or proj2 == "fold"):
+            # two-stage live set; fold adds the projected selection matrix
             e += p_pad * h * 4 + 2 * p_pad * w * c * 4 + w * c * c * 4
+            if d:
+                e += w * c * d * 4
         else:
+            if d:
+                e += h * w * d * 4  # in-kernel projected copy (f32)
             e += 3 * p_pad * h * w * 4  # rowv, colv, m
         est.append(e)
     groups, start, acc = [], 0, 0

@@ -163,10 +163,12 @@ def make_datasets(cfg, args):
     train_npz = args.train_npz or os.path.join(args.data_root, "data_train_3dhp.npz")
     test_npz = args.test_npz or os.path.join(args.data_root, "data_test_3dhp.npz")
     train_ds = mpi3dhp.load_train(
-        train_npz, os.path.join(args.data_root, "mpi_inf_3dhp", "images")
+        train_npz, os.path.join(args.data_root, "mpi_inf_3dhp", "images"),
+        frame_store=cfg.data.train_frame_store or None,
     )
     val_ds = mpi3dhp.load_test(
-        test_npz, os.path.join(args.data_root, "mpi_inf_3dhp_test_set", "images")
+        test_npz, os.path.join(args.data_root, "mpi_inf_3dhp_test_set", "images"),
+        frame_store=cfg.data.val_frame_store or None,
     )
     return train_ds, val_ds
 

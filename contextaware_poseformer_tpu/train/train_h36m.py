@@ -167,10 +167,12 @@ def make_datasets(cfg, args):
     from contextaware_poseformer_tpu.data.h36m import H36MDataset
 
     train_ds = H36MDataset.from_pickle(
-        cfg.data.train_labels_path, cfg.data.root, cfg.model.image_shape
+        cfg.data.train_labels_path, cfg.data.root, cfg.model.image_shape,
+        frame_store=cfg.data.train_frame_store or None,
     )
     val_ds = H36MDataset.from_pickle(
-        cfg.data.val_labels_path, cfg.data.root, cfg.model.image_shape
+        cfg.data.val_labels_path, cfg.data.root, cfg.model.image_shape,
+        frame_store=cfg.data.val_frame_store or None,
     )
     return train_ds, val_ds
 

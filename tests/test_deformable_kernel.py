@@ -132,6 +132,64 @@ def test_multi_level_fused_matches_per_level(mode):
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("proj2", ["fold", "onestage"])
+def test_two_stage_preproject_matches_gather(proj2, monkeypatch):
+    """PREPROJECT_2STAGE extends in-kernel channel projection to SEPARABLE
+    levels (round-4 lever, VERDICT r3 item 3): "fold" routes the projection
+    through the W-axis reduction matmul, "onestage" projects the map in
+    VMEM and drops to the one-stage body. Both must match gather-path
+    project-before-sample exactly (border mode: mixing weights sum to 1,
+    so the after-sampling bias add is exact), including grads through
+    sample_project_points_multi's VJP."""
+    from contextaware_poseformer_tpu.ops import deformable as D
+
+    monkeypatch.setattr(D, "PREPROJECT_2STAGE", proj2)
+    rng = np.random.RandomState(6)
+    b, p, hd = 2, 11, 8
+    dims = ((64, 48, 32), (32, 24, 64))  # separable level + one-stage level
+    assert D.kernel_can_preproject(64, 48, 32, hd)
+    feats = tuple(
+        jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+        for h, w, c in dims
+    )
+    pts = jnp.asarray(
+        rng.uniform(-1.2, 1.2, (b, len(dims), p, 2)).astype(np.float32)
+    )
+    projs = tuple(
+        jnp.asarray((rng.randn(c, hd) / np.sqrt(c)).astype(np.float32))
+        for _, _, c in dims
+    )
+    biases = tuple(
+        jnp.asarray(rng.randn(hd).astype(np.float32)) for _ in dims
+    )
+
+    from contextaware_poseformer_tpu.ops.deformable import (
+        sample_points_levels,
+    )
+
+    kw = dict(padding_mode="border", projs=projs, biases=biases)
+    ref = sample_points_levels(feats, pts, impl="gather", **kw)
+    fused = sample_points_levels(feats, pts, impl="fused_interpret", **kw)
+    for a, c in zip(ref, fused):
+        assert c.shape[-1] == hd
+        np.testing.assert_allclose(np.asarray(c), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)
+
+    def loss(fn):
+        return lambda fs, ps, ws, bs: sum(
+            jnp.sum(o ** 2) for o in sample_points_levels(
+                fs, ps, padding_mode="border", impl=fn, projs=ws, biases=bs)
+        )
+
+    g_ref = jax.grad(loss("gather"), argnums=(0, 1, 2, 3))(
+        feats, pts, projs, biases)
+    g_fus = jax.grad(loss("fused_interpret"), argnums=(0, 1, 2, 3))(
+        feats, pts, projs, biases)
+    for a, c in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_fus)):
+        np.testing.assert_allclose(np.asarray(c), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
+
+
 @pytest.mark.slow
 def test_deformable_aggregate_matches_reference():
     """deformable_aggregate (fused sampling + per-level projection + weighted
