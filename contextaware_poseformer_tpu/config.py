@@ -84,6 +84,21 @@ class BackboneConfig:
     # upsample matmul chains and ~4x/16x/64x of per-level sampler HBM
     # traffic (PERF.md CPN budget).
     cpn_native_pyramid: bool = False
+    # CPN only, quantize="serve": END-TO-END int8 tensor stream through the
+    # ResNet bottleneck stages and the refineNet cascades — the proven
+    # layer1 recipe (models/hrnet.py _layer1_int8, 1.90x on that chain)
+    # generalized. Inter-block tensors stay int8 in HBM with static
+    # calibrated scales ("calib" collection, observed during the standard
+    # serve calibration pass), residual adds dequantize in-register, and
+    # each block output requantizes inside the producing conv's fusion —
+    # so the float tensor between blocks never exists in HBM and the
+    # per-conv input-quantize passes disappear (clamp_convert was 3.2 ms
+    # and add_maximum 1.3 ms of CPN's 15.4 ms deploy budget, round-4
+    # trace). Extra quantization points vs per-conv serve mode make this
+    # an accuracy-gated deploy trade (tools/deploy_numerics.py --cpn-only
+    # protocol), like cpn_native_pyramid. Ignored unless kind == "cpn"
+    # and quantize == "serve".
+    cpn_int8_stream: bool = False
     # HRNet only: run stage4 with ONLY its first module (drop modules 1-2,
     # ~2/3 of stage-4 branch compute + 2 fuse sets). Levels 1-3 are ALREADY
     # the first stage-4 module's pre-fuse branch outputs (the reference's

@@ -40,6 +40,17 @@ LATERAL_CH = 256
 REFINE_PLANES = 128  # refineNet Bottleneck expansion = 2 (refineNet.py:3-13)
 
 
+def _quant_i8(t: jax.Array, amax: jax.Array) -> jax.Array:
+    """Symmetric per-tensor int8 quantization with a static amax scale.
+
+    Elementwise only — XLA fuses it into the producing convolution's
+    epilogue, so under the e2e stream the float tensor never reaches HBM.
+    """
+    return jnp.clip(
+        jnp.round(t.astype(jnp.float32) * (127.0 / amax)), -127, 127
+    ).astype(jnp.int8)
+
+
 class CPN(nn.Module):
     cfg: BackboneConfig
     dtype: Any = jnp.float32
@@ -52,28 +63,122 @@ class CPN(nn.Module):
             serve_static_amax=self.cfg.serve_static_amax, name=name,
         )
 
+    # --- end-to-end int8 stream (quantize="serve" + cpn_int8_stream) ------
+    #
+    # The layer1 recipe from models/hrnet.py:71 generalized to every
+    # bottleneck chain in this backbone: between blocks only int8 tensors
+    # touch HBM (static calibrated scales), the residual skip dequantizes
+    # in-register, and each block output requantizes inside the producing
+    # conv's fusion. During calibration (mutable "calib") the model runs
+    # the standard serve graph (wide convs dynamic int8, narrow convs
+    # float) while observing max|t| at every chain point — the observed
+    # scales describe the same tensors the per-conv serve graph computes.
+
+    def _stream_on(self) -> bool:
+        return (
+            self.cfg.quantize == "serve"
+            and self.cfg.cpn_int8_stream
+            and not self.is_mutable_collection("calib")
+        )
+
+    def _cvar(self, name):
+        return self.variable("calib", name, lambda: jnp.zeros((), jnp.float32))
+
+    def _observe(self, var, t):
+        from contextaware_poseformer_tpu.models.backbone_common import (
+            observed_amax,
+        )
+
+        var.value = jnp.maximum(
+            var.value, observed_amax(t, self.cfg.calib_quantile)
+        )
+
+    def _stream_calibrating(self) -> bool:
+        return (
+            self.cfg.quantize == "serve"
+            and self.cfg.cpn_int8_stream
+            and self.is_mutable_collection("calib")
+        )
+
     def _resnet_bottleneck(self, x, prefix, planes, stride, downsample):
         # torchvision-style: stride on conv2 (resnet.py:60-94)
+        calibrating = self._stream_calibrating()
         residual = x
         y = self._conv(f"{prefix}.conv1", planes, 1, 1, relu=True)(x)
+        if calibrating:
+            self._observe(self._cvar(f"{prefix}.t1_amax"), y)
         y = self._conv(f"{prefix}.conv2", planes, 3, stride, relu=True)(y)
+        if calibrating:
+            self._observe(self._cvar(f"{prefix}.t2_amax"), y)
         y = self._conv(f"{prefix}.conv3", planes * 4, 1, 1, relu=False)(y)
         if downsample:
             residual = self._conv(
                 f"{prefix}.downsample.0", planes * 4, 1, stride, relu=False
             )(x)
-        return jax.nn.relu(y + residual)
+        out = jax.nn.relu(y + residual)
+        if calibrating:
+            self._observe(self._cvar(f"{prefix}.out_amax"), out)
+        return out
+
+    def _resnet_bottleneck_i8(self, xq, amax, prefix, planes, stride,
+                              downsample, quant_out=True):
+        """Bottleneck on an int8 (xq, amax) pair; returns the same."""
+        t1 = jnp.maximum(self._cvar(f"{prefix}.t1_amax").value, 1e-12)
+        t2 = jnp.maximum(self._cvar(f"{prefix}.t2_amax").value, 1e-12)
+        y = self._conv(f"{prefix}.conv1", planes, 1, 1, relu=True)(
+            None, x_quant=(xq, amax))
+        y = self._conv(f"{prefix}.conv2", planes, 3, stride, relu=True)(
+            None, x_quant=(_quant_i8(y, t1), t1))
+        y = self._conv(f"{prefix}.conv3", planes * 4, 1, 1, relu=False)(
+            None, x_quant=(_quant_i8(y, t2), t2))
+        if downsample:
+            res = self._conv(
+                f"{prefix}.downsample.0", planes * 4, 1, stride, relu=False
+            )(None, x_quant=(xq, amax))
+        else:
+            res = xq.astype(y.dtype) * (amax / 127.0).astype(y.dtype)
+        out = jax.nn.relu(y + res)
+        if not quant_out:
+            return out, None
+        out_a = jnp.maximum(self._cvar(f"{prefix}.out_amax").value, 1e-12)
+        return _quant_i8(out, out_a), out_a
 
     def _refine_bottleneck(self, x, prefix):
         # refineNet Bottleneck: planes 128, expansion 2, downsample ALWAYS
         # present (refineNet.py:17-21), stride 1 on the live path.
+        calibrating = self._stream_calibrating()
         y = self._conv(f"{prefix}.conv1", REFINE_PLANES, 1, 1, relu=True)(x)
+        if calibrating:
+            self._observe(self._cvar(f"{prefix}.t1_amax"), y)
         y = self._conv(f"{prefix}.conv2", REFINE_PLANES, 3, 1, relu=True)(y)
+        if calibrating:
+            self._observe(self._cvar(f"{prefix}.t2_amax"), y)
         y = self._conv(f"{prefix}.conv3", REFINE_PLANES * 2, 1, 1, relu=False)(y)
         residual = self._conv(
             f"{prefix}.downsample.0", REFINE_PLANES * 2, 1, 1, relu=False
         )(x)
-        return jax.nn.relu(y + residual)
+        out = jax.nn.relu(y + residual)
+        if calibrating:
+            self._observe(self._cvar(f"{prefix}.out_amax"), out)
+        return out
+
+    def _refine_bottleneck_i8(self, xq, amax, prefix, quant_out):
+        t1 = jnp.maximum(self._cvar(f"{prefix}.t1_amax").value, 1e-12)
+        t2 = jnp.maximum(self._cvar(f"{prefix}.t2_amax").value, 1e-12)
+        y = self._conv(f"{prefix}.conv1", REFINE_PLANES, 1, 1, relu=True)(
+            None, x_quant=(xq, amax))
+        y = self._conv(f"{prefix}.conv2", REFINE_PLANES, 3, 1, relu=True)(
+            None, x_quant=(_quant_i8(y, t1), t1))
+        y = self._conv(f"{prefix}.conv3", REFINE_PLANES * 2, 1, 1, relu=False)(
+            None, x_quant=(_quant_i8(y, t2), t2))
+        res = self._conv(
+            f"{prefix}.downsample.0", REFINE_PLANES * 2, 1, 1, relu=False
+        )(None, x_quant=(xq, amax))
+        out = jax.nn.relu(y + res)
+        if not quant_out:
+            return out, None
+        out_a = jnp.maximum(self._cvar(f"{prefix}.out_amax").value, 1e-12)
+        return _quant_i8(out, out_a), out_a
 
     @nn.compact
     def __call__(self, x: jax.Array) -> list[jax.Array]:
@@ -85,27 +190,58 @@ class CPN(nn.Module):
         )(x)
         x = max_pool_3x3_s2(x)
 
-        feats = []  # [x1 /4, x2 /8, x3 /16, x4 /32]
+        stream = self._stream_on()
+        calibrating = self._stream_calibrating()
+        if calibrating:
+            self._observe(self._cvar("resnet.in_amax"), x)
+
+        feats = []  # [x1 /4, x2 /8, x3 /16, x4 /32]; int8 pairs when stream
         planes = (64, 128, 256, 512)
-        for li, (p, blocks) in enumerate(zip(planes, self.cfg.cpn_layers)):
-            stride = 1 if li == 0 else 2
-            x = self._resnet_bottleneck(
-                x, f"resnet.layer{li + 1}.0", p, stride, downsample=True
-            )
-            for b in range(1, blocks):
-                x = self._resnet_bottleneck(
-                    x, f"resnet.layer{li + 1}.{b}", p, 1, downsample=False
+        if stream:
+            in_a = jnp.maximum(self._cvar("resnet.in_amax").value, 1e-12)
+            xq, amax = _quant_i8(x, in_a), in_a
+            for li, (p, blocks) in enumerate(
+                zip(planes, self.cfg.cpn_layers)
+            ):
+                stride = 1 if li == 0 else 2
+                xq, amax = self._resnet_bottleneck_i8(
+                    xq, amax, f"resnet.layer{li + 1}.0", p, stride,
+                    downsample=True,
                 )
-            feats.append(x)
+                for b in range(1, blocks):
+                    xq, amax = self._resnet_bottleneck_i8(
+                        xq, amax, f"resnet.layer{li + 1}.{b}", p, 1,
+                        downsample=False,
+                    )
+                feats.append((xq, amax))
+        else:
+            for li, (p, blocks) in enumerate(
+                zip(planes, self.cfg.cpn_layers)
+            ):
+                stride = 1 if li == 0 else 2
+                x = self._resnet_bottleneck(
+                    x, f"resnet.layer{li + 1}.0", p, stride, downsample=True
+                )
+                for b in range(1, blocks):
+                    x = self._resnet_bottleneck(
+                        x, f"resnet.layer{li + 1}.{b}", p, 1, downsample=False
+                    )
+                feats.append(x)
         res_out = feats[::-1]  # [x4, x3, x2, x1] (resnet.py:147)
 
         # --- globalNet FPN (globalNet.py:61-83) ---
         global_fms = []
         up = None
         for i in range(4):
-            lat = self._conv(
+            lat_conv = self._conv(
                 f"global_net.laterals.{i}.0", LATERAL_CH, 1, 1, relu=True
-            )(res_out[i])
+            )
+            if stream:
+                # consume the stage's int8 tensor directly — the lateral
+                # shares the residual stream's quantized input
+                lat = lat_conv(None, x_quant=res_out[i])
+            else:
+                lat = lat_conv(res_out[i])
             feature = lat if i == 0 else lat + up
             global_fms.append(feature)
             if i != 3:
@@ -117,12 +253,37 @@ class CPN(nn.Module):
                 )(u)
 
         # --- refineNet (refineNet.py:46-88) ---
-        out_hw = (x.shape[1] * 8, x.shape[2] * 8)  # /4 resolution
+        hh = global_fms[-1].shape[1]  # /4 level height
+        out_hw = (hh, global_fms[-1].shape[2])
         refine_fms = []
         for i in range(4):
             y = global_fms[i]
-            for k in range(4 - i - 1):
-                y = self._refine_bottleneck(y, f"refine_net.cascade.{i}.{k}")
+            n_blocks = 4 - i - 1
+            if calibrating and n_blocks:
+                self._observe(
+                    self._cvar(f"refine_net.cascade.{i}.in_amax"), y
+                )
+            if stream and n_blocks:
+                in_a = jnp.maximum(
+                    self._cvar(f"refine_net.cascade.{i}.in_amax").value,
+                    1e-12,
+                )
+                yq, ya = _quant_i8(y, in_a), in_a
+                for k in range(n_blocks):
+                    last = k == n_blocks - 1
+                    out = self._refine_bottleneck_i8(
+                        yq, ya, f"refine_net.cascade.{i}.{k}",
+                        quant_out=not last,
+                    )
+                    if last:
+                        y = out[0]
+                    else:
+                        yq, ya = out
+            else:
+                for k in range(n_blocks):
+                    y = self._refine_bottleneck(
+                        y, f"refine_net.cascade.{i}.{k}"
+                    )
             if not self.cfg.cpn_native_pyramid:
                 # reference: every level materialized at /4 before the
                 # lifter samples it (refineNet.py:72-88). The native-pyramid

@@ -109,6 +109,63 @@ def test_cpn_serve_prepare_with_no_static_convs():
 
 
 @pytest.mark.slow
+def test_cpn_int8_stream_matches_serve_path():
+    """cpn_int8_stream (e2e int8 through the resnet/refine chains) must
+    reproduce the per-conv serve graph up to its extra quantization points:
+    same map shapes, finite values, small relative deviation on a tiny
+    random backbone. Also checks the calibration pass records the chain
+    scales (resnet.in_amax, per-block t1/t2/out, refine cascade entries)
+    that the inference graph reads."""
+    import dataclasses
+
+    from contextaware_poseformer_tpu.models.backbone_common import (
+        calibrate_quantization,
+        prepare_int8_weights,
+    )
+
+    cfg = dataclasses.replace(
+        cpn_backbone(), quantize="serve", serve_static_amax=True,
+        calib_quantile=0.999, cpn_layers=(1, 1, 1, 1),
+    )
+    cfg_s = dataclasses.replace(cfg, cpn_int8_stream=True)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+
+    m0, m1 = CPN(cfg=cfg), CPN(cfg=cfg_s)
+    params = {"params": m1.init(jax.random.PRNGKey(0), x)["params"]}
+
+    def prep(m):
+        v = calibrate_quantization(
+            lambda vv, b, **kw: m.apply(vv, b, **kw), dict(params), [x, x]
+        )
+        return prepare_int8_weights(
+            lambda vv, b, **kw: m.apply(vv, b, **kw), v, x
+        )
+
+    v0, v1 = prep(m0), prep(m1)
+    # the stream calibration must record the chain scales
+    calib_keys = {
+        "/".join(str(k) for k in path)
+        for path, _ in jax.tree_util.tree_flatten_with_path(v1["calib"])[0]
+    }
+    for want in ("resnet.in_amax", "resnet.layer1.0.t1_amax",
+                 "resnet.layer4.0.out_amax",
+                 "refine_net.cascade.0.in_amax",
+                 "refine_net.cascade.0.0.t2_amax"):
+        assert any(want in k for k in calib_keys), (want, sorted(calib_keys))
+
+    o0, o1 = m0.apply(v0, x), m1.apply(v1, x)
+    assert [a.shape for a in o0] == [a.shape for a in o1]
+    for lvl, (a, b) in enumerate(zip(o0, o1)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.all(np.isfinite(b)), lvl
+        rel = np.sqrt(np.mean((a - b) ** 2)) / (np.sqrt(np.mean(a**2)) + 1e-9)
+        # extra int8 quantization points only — structural bugs show up as
+        # O(1) relative error; observed ~0.03 on this tiny random model
+        assert rel < 0.15, (lvl, rel)
+
+
+@pytest.mark.slow
 def test_native_pyramid_backbone_equivalence():
     """cpn_native_pyramid returns the SAME refine maps pre-resize: upsampling
     the native pyramid with the reference resize reproduces the default

@@ -288,6 +288,17 @@ def trained_cpn_ab(steps_n: int = 250):
     p1s = eval_p1(ms)
     print(f"[cpn] trained P1: deploy static-amax {p1s:.3f} mm | "
           f"delta vs fp32 {p1s - p1:+.3f} mm")
+    # + cpn_int8_stream: e2e int8 through the resnet/refine chains (the
+    # round-4 lever — extra quantization points vs per-conv serve)
+    mstream = dataclasses.replace(
+        ms, backbone=dataclasses.replace(
+            ms.backbone, cpn_int8_stream=True
+        )
+    )
+    p1e = eval_p1(mstream)
+    print(f"[cpn] trained P1: deploy int8-stream {p1e:.3f} mm | "
+          f"delta vs fp32 {p1e - p1:+.3f} mm | vs static-amax "
+          f"{p1e - p1s:+.3f} mm")
 
 
 def trained_truncate_ab(steps_n: int = 250):

@@ -70,6 +70,8 @@ def main():
                     help="cpn_native_pyramid=True (CPN presets only)")
     ap.add_argument("--truncate", action="store_true",
                     help="hrnet_stage4_truncate=True (hrnet presets only)")
+    ap.add_argument("--int8-stream", action="store_true",
+                    help="cpn_int8_stream=True (CPN presets only)")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--top", type=int, default=40)
     args = ap.parse_args()
@@ -109,6 +111,13 @@ def main():
             model_cfg,
             backbone=dataclasses.replace(
                 model_cfg.backbone, hrnet_stage4_truncate=True
+            ),
+        )
+    if args.int8_stream:
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            backbone=dataclasses.replace(
+                model_cfg.backbone, cpn_int8_stream=True
             ),
         )
     model = ContextAwarePoseFormer(cfg=model_cfg, dtype=jnp.bfloat16)
