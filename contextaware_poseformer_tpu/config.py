@@ -403,6 +403,17 @@ def deploy(cfg: Config) -> Config:
                 # (its measured static-amax delta was +0.115 mm for a
                 # smaller abs_reduce budget). PERF.md round-3.
                 serve_static_amax=(cfg.model.backbone.kind == "cpn"),
+                # CPN only: end-to-end int8 residual stream — between
+                # bottleneck blocks only int8 tensors touch HBM (static
+                # calibrated scales); skips dequantize in-register, block
+                # outputs requantize in the producing conv's fusion.
+                # Round-4 device A/B (tools/trace_flagship.py --preset
+                # h36m_cpn [--int8-stream]): 15.40 -> 13.87 ms/iter (1.11x;
+                # add_maximum 1.31 -> 0.08 ms/iter, float residual fusions
+                # fold into int8 conv epilogues). Trained accuracy gate
+                # (deploy_numerics --cpn-only): P1 delta -0.468 mm vs fp32
+                # — no cost. PERF.md round-4 CPN page.
+                cpn_int8_stream=(cfg.model.backbone.kind == "cpn"),
             ),
             lifter=replace(
                 cfg.model.lifter,
