@@ -99,15 +99,6 @@ class BackboneConfig:
     # protocol), like cpn_native_pyramid. Ignored unless kind == "cpn"
     # and quantize == "serve".
     cpn_int8_stream: bool = False
-    # CPN only: lower the globalNet 1x1 convs (laterals + upsample convs)
-    # as explicit (N*H*W, Cin) @ (Cin, Cout) matmuls instead of
-    # conv_general_dilated. Numerically identical (ConvBN as_matmul
-    # docstring); the point is LAYOUT: XLA assigns dot outputs the default
-    # layout the Pallas sampler kernels require, removing the full-map
-    # relayout copy it otherwise inserts on the /4-level feature (copy.525,
-    # 0.63 ms/iter at batch 128 — PERF.md round-4 CPN page). Device-A/B
-    # gated like every deploy knob.
-    cpn_global_matmul: bool = False
     # HRNet only: run stage4 with ONLY its first module (drop modules 1-2,
     # ~2/3 of stage-4 branch compute + 2 fuse sets). Levels 1-3 are ALREADY
     # the first stage-4 module's pre-fuse branch outputs (the reference's

@@ -95,7 +95,7 @@ class ConvBN(nn.Module):
     serve_static_amax: bool = False
 
     @nn.compact
-    def __call__(self, x, x_quant=None, packed=False, as_matmul=False):
+    def __call__(self, x, x_quant=None, packed=False):
         """x: float NHWC input, or None when `x_quant` is given.
 
         `x_quant=(xq_int8, amax)` feeds an already-quantized tensor with its
@@ -107,24 +107,11 @@ class ConvBN(nn.Module):
         and returns `(kernel_q, wscale, scale, bias)` — the raw pieces the
         fused Pallas layer1 chain (ops/layer1_chain.py) assembles itself.
         Participates in the same "qweights" store/populate protocol.
-
-        `as_matmul=True` (1x1 stride-1 convs only) lowers the convolution as
-        an explicit (N*H*W, Cin) @ (Cin, Cout) dot_general instead of
-        conv_general_dilated. Numerically identical (int8 path: exact — same
-        int32 accumulation; float path: same contraction), but XLA assigns
-        dot outputs the DEFAULT layout, which downstream Pallas kernels
-        require — formulating the CPN globalNet 1x1s this way removes the
-        full-map relayout copies XLA otherwise inserts between the conv's
-        preferred layout and the sampler kernel's (PERF.md round-4 CPN page,
-        copy.525: 0.63 ms/iter on the /4-level map at batch 128).
         """
         in_ch = (
             x if packed else (x if x_quant is None else x_quant[0]).shape[-1]
         )
         ks = self.kernel_size
-        if as_matmul and not packed:
-            assert ks == 1 and self.stride == 1, (
-                "as_matmul needs a 1x1 stride-1 conv", ks, self.stride)
         kernel = self.param(
             "kernel",
             nn.initializers.he_normal(),
@@ -208,41 +195,24 @@ class ConvBN(nn.Module):
                 xq = jnp.clip(
                     jnp.round(x.astype(jnp.float32) / amax), -127, 127
                 ).astype(jnp.int8)
-            if as_matmul:
-                n, h, w, c = xq.shape
-                y = jax.lax.dot_general(
-                    xq.reshape(n * h * w, c),
-                    kq.reshape(c, self.features),
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                ).reshape(n, h, w, self.features)
-            else:
-                y = jax.lax.conv_general_dilated(
-                    xq, kq,
-                    window_strides=(self.stride, self.stride),
-                    padding=[(pad, pad), (pad, pad)],
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    preferred_element_type=jnp.int32,
-                )
+            y = jax.lax.conv_general_dilated(
+                xq, kq,
+                window_strides=(self.stride, self.stride),
+                padding=[(pad, pad), (pad, pad)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32,
+            )
             # fold dequant scales into the BN affine
             eff_scale = (scale * wscale * amax).astype(self.dtype)
             y = y.astype(self.dtype) * eff_scale + bias.astype(self.dtype)
         else:
-            if as_matmul:
-                n, h, w, c = x.shape
-                y = jax.lax.dot_general(
-                    x.astype(self.dtype).reshape(n * h * w, c),
-                    kernel.astype(self.dtype).reshape(c, self.features),
-                    (((1,), (0,)), ((), ())),
-                ).reshape(n, h, w, self.features)
-            else:
-                y = jax.lax.conv_general_dilated(
-                    x.astype(self.dtype),
-                    kernel.astype(self.dtype),
-                    window_strides=(self.stride, self.stride),
-                    padding=[(pad, pad), (pad, pad)],
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                )
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                window_strides=(self.stride, self.stride),
+                padding=[(pad, pad), (pad, pad)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
             y = y * scale.astype(self.dtype) + bias.astype(self.dtype)
         if self.relu:
             y = jax.nn.relu(y)

@@ -230,7 +230,6 @@ class CPN(nn.Module):
         res_out = feats[::-1]  # [x4, x3, x2, x1] (resnet.py:147)
 
         # --- globalNet FPN (globalNet.py:61-83) ---
-        gm = self.cfg.cpn_global_matmul
         global_fms = []
         up = None
         for i in range(4):
@@ -240,9 +239,9 @@ class CPN(nn.Module):
             if stream:
                 # consume the stage's int8 tensor directly — the lateral
                 # shares the residual stream's quantized input
-                lat = lat_conv(None, x_quant=res_out[i], as_matmul=gm)
+                lat = lat_conv(None, x_quant=res_out[i])
             else:
-                lat = lat_conv(res_out[i], as_matmul=gm)
+                lat = lat_conv(res_out[i])
             feature = lat if i == 0 else lat + up
             global_fms.append(feature)
             if i != 3:
@@ -251,7 +250,7 @@ class CPN(nn.Module):
                 # Sequential[Upsample, Conv, BN]: conv at idx 1, bn at idx 2
                 up = self._conv(
                     f"global_net.upsamples.{i}.1", LATERAL_CH, 1, 1, relu=False
-                )(u, as_matmul=gm)
+                )(u)
 
         # --- refineNet (refineNet.py:46-88) ---
         hh = global_fms[-1].shape[1]  # /4 level height

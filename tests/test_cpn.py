@@ -165,25 +165,6 @@ def test_cpn_int8_stream_matches_serve_path():
         assert rel < 0.15, (lvl, rel)
 
 
-def test_global_matmul_equivalence():
-    """cpn_global_matmul lowers the globalNet 1x1s as dot_generals — same
-    contraction, so fp32 outputs must match the conv form to fp32 roundoff
-    (the knob exists purely for XLA layout assignment; ConvBN as_matmul)."""
-    import dataclasses
-
-    cfg_c = dataclasses.replace(cpn_backbone(), cpn_layers=(1, 1, 1, 1))
-    cfg_m = dataclasses.replace(cfg_c, cpn_global_matmul=True)
-    rng = np.random.RandomState(3)
-    x = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
-    m_c, m_m = CPN(cfg=cfg_c), CPN(cfg=cfg_m)
-    params = m_c.init(jax.random.PRNGKey(0), x)
-    oc, om = m_c.apply(params, x), m_m.apply(params, x)
-    for lvl, (a, b) in enumerate(zip(oc, om)):
-        a, b = np.asarray(a), np.asarray(b)
-        scale = np.sqrt(np.mean(a**2)) + 1e-9
-        assert np.abs(a - b).max() / scale < 1e-5, lvl
-
-
 @pytest.mark.slow
 def test_native_pyramid_backbone_equivalence():
     """cpn_native_pyramid returns the SAME refine maps pre-resize: upsampling

@@ -72,10 +72,6 @@ def main():
                     help="hrnet_stage4_truncate=True (hrnet presets only)")
     ap.add_argument("--int8-stream", action="store_true",
                     help="cpn_int8_stream=True (CPN presets only)")
-    ap.add_argument("--global-matmul", action="store_true",
-                    help="cpn_global_matmul=True (CPN presets only)")
-    ap.add_argument("--no-global-matmul", action="store_true",
-                    help="force cpn_global_matmul=False")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--top", type=int, default=40)
     args = ap.parse_args()
@@ -122,13 +118,6 @@ def main():
             model_cfg,
             backbone=dataclasses.replace(
                 model_cfg.backbone, cpn_int8_stream=True
-            ),
-        )
-    if args.global_matmul or args.no_global_matmul:
-        model_cfg = dataclasses.replace(
-            model_cfg,
-            backbone=dataclasses.replace(
-                model_cfg.backbone, cpn_global_matmul=args.global_matmul
             ),
         )
     model = ContextAwarePoseFormer(cfg=model_cfg, dtype=jnp.bfloat16)
