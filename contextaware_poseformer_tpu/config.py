@@ -99,6 +99,20 @@ class BackboneConfig:
     # protocol), like cpn_native_pyramid. Ignored unless kind == "cpn"
     # and quantize == "serve".
     cpn_int8_stream: bool = False
+    # CPN only, on top of cpn_int8_stream + cpn_native_pyramid: hand the
+    # LIFTER int8 pyramid maps instead of bf16 — the backbone requantizes
+    # each refine output with a calibrated per-level scale and returns
+    # (maps_s8, dequant_scales). Bilinear sampling is channel-linear, so
+    # the scale folds into the in-kernel embed_proj weights (deformable
+    # path) / multiplies the 17-point reference samples (tiny) — no
+    # dequantize pass over the maps ever runs. Halves the dominant
+    # sampler HBM traffic: the /4-level 256-ch map (201 MB bf16 at batch
+    # 128) is written once, relayout-copied once, and read by FOUR
+    # deformable blocks per step (~1.4 GB/step of the 9.3 GB total, all
+    # measured DMA-bound — PERF.md round-4 CPN page). Accuracy-gated like
+    # every deploy trade (tools/deploy_numerics.py --cpn-only). Ignored
+    # unless cpn_int8_stream and cpn_native_pyramid are both on.
+    cpn_int8_maps: bool = False
     # HRNet only: run stage4 with ONLY its first module (drop modules 1-2,
     # ~2/3 of stage-4 branch compute + 2 fuse sets). Levels 1-3 are ALREADY
     # the first stage-4 module's pre-fuse branch outputs (the reference's

@@ -125,15 +125,29 @@ class ContextAwarePoseFormer(nn.Module):
     ) -> jax.Array:
         ref = crop_coords_to_grid(keypoints_2d_crop, self.cfg.image_shape)
 
-        features = self.backbone(images)
+        out = self.backbone(images)
+        # cpn_int8_maps: the backbone hands over (s8 maps, dequant scales);
+        # the lifter folds the scales into its sampling consumers
+        feat_scales = None
+        if isinstance(out, tuple):
+            features, feat_scales = out
+        else:
+            features = out
         if self.cfg.backbone.frozen:
             # reference freezes backbone params (conpose.py:22-25); the lax
             # equivalent keeps grads from flowing into the conv stack.
             features = [jax.lax.stop_gradient(f) for f in features]
         # features feed the lifter in its compute dtype (fp32 on the parity
         # path; with a bf16 lifter the bf16 backbone maps flow through
-        # uncast, skipping a full HBM round trip per level)
+        # uncast, skipping a full HBM round trip per level); int8 maps stay
+        # int8 — the sampler treats the values as raw numbers
         feat_dtype = jnp.dtype(self.cfg.lifter.compute_dtype)
-        features = [f.astype(feat_dtype) for f in features]
+        features = [
+            f if f.dtype == jnp.int8 else f.astype(feat_dtype)
+            for f in features
+        ]
 
-        return self.lifter(keypoints_2d, ref, features, deterministic)
+        return self.lifter(
+            keypoints_2d, ref, features, deterministic,
+            feat_scales=feat_scales,
+        )

@@ -253,16 +253,29 @@ class CPN(nn.Module):
                 )(u)
 
         # --- refineNet (refineNet.py:46-88) ---
+        # int8 maps: hand the lifter (s8 map, dequant scale) pairs instead
+        # of bf16 maps — levels WITH cascade blocks reuse the last block's
+        # calibrated out_amax (already observed for every block); the
+        # cascade-free /4 level gets its own observation point. Requires
+        # the native pyramid (the align-corners resize would have to run on
+        # dequantized values, recreating the float map this knob removes).
+        int8_maps = (
+            stream and self.cfg.cpn_int8_maps and self.cfg.cpn_native_pyramid
+        )
         hh = global_fms[-1].shape[1]  # /4 level height
         out_hw = (hh, global_fms[-1].shape[2])
         refine_fms = []
+        scales = []
         for i in range(4):
             y = global_fms[i]
+            yq = ya = None
             n_blocks = 4 - i - 1
             if calibrating and n_blocks:
                 self._observe(
                     self._cvar(f"refine_net.cascade.{i}.in_amax"), y
                 )
+            if calibrating and self.cfg.cpn_int8_maps and not n_blocks:
+                self._observe(self._cvar(f"refine_net.feature{i}_amax"), y)
             if stream and n_blocks:
                 in_a = jnp.maximum(
                     self._cvar(f"refine_net.cascade.{i}.in_amax").value,
@@ -273,9 +286,9 @@ class CPN(nn.Module):
                     last = k == n_blocks - 1
                     out = self._refine_bottleneck_i8(
                         yq, ya, f"refine_net.cascade.{i}.{k}",
-                        quant_out=not last,
+                        quant_out=(not last) or int8_maps,
                     )
-                    if last:
+                    if last and not int8_maps:
                         y = out[0]
                     else:
                         yq, ya = out
@@ -284,6 +297,11 @@ class CPN(nn.Module):
                     y = self._refine_bottleneck(
                         y, f"refine_net.cascade.{i}.{k}"
                     )
+            if int8_maps and not n_blocks:
+                a = jnp.maximum(
+                    self._cvar(f"refine_net.feature{i}_amax").value, 1e-12
+                )
+                yq, ya = _quant_i8(y, a), a
             if not self.cfg.cpn_native_pyramid:
                 # reference: every level materialized at /4 before the
                 # lifter samples it (refineNet.py:72-88). The native-pyramid
@@ -292,5 +310,11 @@ class CPN(nn.Module):
                 # coarse map directly (config.BackboneConfig docstring for
                 # the equivalence analysis / accuracy protocol).
                 y = resize_bilinear_align_corners(y, out_hw)
-            refine_fms.append(y)
+            if int8_maps:
+                refine_fms.append(yq)
+                scales.append((ya / 127.0).astype(jnp.float32))
+            else:
+                refine_fms.append(y)
+        if int8_maps:
+            return refine_fms, scales
         return refine_fms

@@ -96,6 +96,7 @@ class DeformableBlock(nn.Module):
         ref: jax.Array,  # (b, joints, 2) in [-1, 1]
         features: Sequence[jax.Array],  # level l: (b, H_l, W_l, C_l)
         deterministic: bool = True,
+        feat_scales: Sequence[jax.Array] | None = None,  # int8-map dequant
     ) -> jax.Array:
         b, lp1, p, dim = tokens.shape
         levels = lp1 - 1
@@ -156,6 +157,15 @@ class DeformableBlock(nn.Module):
             projs[l](features[l], params_only=True) if pre[l] else None
             for l in range(levels)
         ]
+        if feat_scales is not None:
+            # int8 maps: the sampler returns RAW quantized samples; since
+            # sampling and the projection are both linear, the per-level
+            # dequant scale folds into the projection KERNEL (bias is
+            # unaffected — it adds after the contraction either way)
+            wbs = [
+                (wb[0] * feat_scales[l], wb[1]) if wb else None
+                for l, wb in enumerate(wbs)
+            ]
         raw = sample_points_levels(
             features, pos, padding_mode="border", align_corners=True,
             impl=self.sampler_impl, precision=self.sampler_precision,
@@ -163,7 +173,11 @@ class DeformableBlock(nn.Module):
             biases=[wb[1] if wb else None for wb in wbs],
         )  # tuple of (b, p, nh*ns, C_l or head_dim)
         sampled = [
-            raw[l] if pre[l] else projs[l](raw[l]) for l in range(levels)
+            raw[l] if pre[l] else projs[l](
+                raw[l] if feat_scales is None
+                else raw[l] * feat_scales[l].astype(raw[l].dtype)
+            )
+            for l in range(levels)
         ]
         sampled = jnp.stack(sampled, axis=1)  # (b, levels, p, nh*ns, head_dim)
         sampled = sampled.reshape(b, levels, p, nh, ns, head_dim)
@@ -213,6 +227,7 @@ class PoseLifter(nn.Module):
         ref: jax.Array,  # (b, joints, 2) crop coords in [-1, 1] grid space
         features: Sequence[jax.Array],  # NHWC multi-scale maps
         deterministic: bool = True,
+        feat_scales: Sequence[jax.Array] | None = None,  # int8-map dequant
     ) -> jax.Array:
         cfg = self.cfg
         b, p, _ = keypoints_2d.shape
@@ -238,6 +253,13 @@ class PoseLifter(nn.Module):
             features, ref_pts, padding_mode="zeros", align_corners=True,
             impl=cfg.sampler, precision=cfg.sampler_precision,
         )  # tuple of (b, p, C_l)
+        if feat_scales is not None:
+            # int8 maps: dequantize the 17-point reference samples (tiny —
+            # (b, p, C_l) per level, ~0.1% of the map traffic this avoids)
+            ref_samples = [
+                r * s.astype(r.dtype)
+                for r, s in zip(ref_samples, feat_scales)
+            ]
         level_tokens = [x]
         for l in range(levels):
             level_tokens.append(
@@ -265,7 +287,8 @@ class PoseLifter(nn.Module):
                     mlp_impl=cfg.mlp,
                     pre_project=cfg.sampler_pre_project,
                     name=f"context_block_{i}",
-                )(tokens, ref, features, deterministic)
+                )(tokens, ref, features, deterministic,
+                  feat_scales=feat_scales)
 
         # per-joint attention over the level axis: (b, l+1, p, d) -> (b*p, l+1, d)
         t = tokens.transpose(0, 2, 1, 3).reshape(b * p, levels + 1, d)

@@ -264,7 +264,13 @@ def _sample_fused_fwd_impl(
         ],
         out_specs=pl.BlockSpec((1, p_pad, c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, p_pad, c), features.dtype),
+        # int8 maps sample to bf16: the kernel treats quantized values as
+        # raw numbers (the caller owns the dequant scale — sampling is
+        # linear, so the scale folds into whatever consumes the samples)
+        out_shape=jax.ShapeDtypeStruct(
+            (b, p_pad, c),
+            jnp.bfloat16 if features.dtype == jnp.int8 else features.dtype,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=b * (h * w * c + p_pad * (2 + c)) * 4,
@@ -479,7 +485,12 @@ def _multi_fwd_impl(features, points, projs=None, biases=None, *,
             for c in out_c
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, p_pad, c), f.dtype)
+            # int8 maps sample to bf16 (values are raw quantized numbers;
+            # the dequant scale is folded by the caller — see lifter.py)
+            jax.ShapeDtypeStruct(
+                (b, p_pad, c),
+                jnp.bfloat16 if f.dtype == jnp.int8 else f.dtype,
+            )
             for f, c in zip(features, out_c)
         ],
         cost_estimate=pl.CostEstimate(

@@ -55,6 +55,12 @@ def grid_sample_points(
     """
     if padding_mode not in ("zeros", "border"):
         raise ValueError(f"unsupported padding_mode: {padding_mode!r}")
+    if features.dtype == jnp.int8:
+        # int8 maps (deploy sampler-int8 path): treat quantized values as
+        # raw numbers in f32 — the corner-weight cast below must not
+        # truncate the bilinear weights to int8. The caller owns the
+        # dequant scale (see lifter.py feat_scales).
+        features = features.astype(jnp.float32)
     n, h, w, c = features.shape
     batch_shape = points.shape[:-1]
     pts = points.reshape(n, -1, 2)

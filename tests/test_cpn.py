@@ -166,6 +166,72 @@ def test_cpn_int8_stream_matches_serve_path():
 
 
 @pytest.mark.slow
+def test_cpn_int8_maps_composite():
+    """cpn_int8_maps hands the lifter s8 pyramid maps + dequant scales.
+    The composite must stay close to the bf16-map deploy graph (the only
+    new error source is the 8-bit map quantization), the calibration pass
+    must record the /4-level feature scale, and the fused (interpret)
+    sampler path must agree with the gather path on s8 maps."""
+    import dataclasses
+
+    from contextaware_poseformer_tpu.config import deploy, preset
+    from contextaware_poseformer_tpu.models import (
+        ContextAwarePoseFormer,
+        prepare_serving,
+    )
+
+    cfg = preset("h36m_cpn")
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, image_shape=(64, 64))
+    )
+    dep = deploy(cfg).model
+    dep = dataclasses.replace(
+        dep, backbone=dataclasses.replace(dep.backbone, cpn_layers=(1, 1, 1, 1))
+    )
+    dmaps = dataclasses.replace(
+        dep, backbone=dataclasses.replace(dep.backbone, cpn_int8_maps=True)
+    )
+
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+    kp = jnp.asarray(rng.uniform(-1, 1, (2, 17, 2)).astype(np.float32))
+    kpc = jnp.asarray(rng.uniform(0, 64, (2, 17, 2)).astype(np.float32))
+
+    def run(model_cfg):
+        m = ContextAwarePoseFormer(cfg=model_cfg)
+        v = m.init(jax.random.PRNGKey(0), imgs[:1], kp[:1], kpc[:1])
+        v = prepare_serving(m, v, (imgs, kp, kpc))
+        return np.asarray(m.apply(v, imgs, kp, kpc)), v
+
+    out0, _ = run(dep)
+    out1, v1 = run(dmaps)
+    calib_keys = {
+        "/".join(str(k) for k in path)
+        for path, _ in jax.tree_util.tree_flatten_with_path(v1["calib"])[0]
+    }
+    assert any("refine_net.feature3_amax" in k for k in calib_keys), sorted(
+        calib_keys
+    )
+    assert np.all(np.isfinite(out1))
+    rel = np.sqrt(np.mean((out0 - out1) ** 2)) / (
+        np.sqrt(np.mean(out0**2)) + 1e-9
+    )
+    assert rel < 0.08, rel  # 8-bit map quantization only
+
+    # fused (interpret) sampler on s8 maps must match the gather path
+    dmaps_k = dataclasses.replace(
+        dmaps, lifter=dataclasses.replace(
+            dmaps.lifter, sampler="fused_interpret"
+        )
+    )
+    out2, _ = run(dmaps_k)
+    relk = np.sqrt(np.mean((out1 - out2) ** 2)) / (
+        np.sqrt(np.mean(out1**2)) + 1e-9
+    )
+    assert relk < 5e-2, relk  # bf16 kernel passes vs f32 gather
+
+
+@pytest.mark.slow
 def test_native_pyramid_backbone_equivalence():
     """cpn_native_pyramid returns the SAME refine maps pre-resize: upsampling
     the native pyramid with the reference resize reproduces the default

@@ -299,6 +299,17 @@ def trained_cpn_ab(steps_n: int = 250):
     print(f"[cpn] trained P1: deploy int8-stream {p1e:.3f} mm | "
           f"delta vs fp32 {p1e - p1:+.3f} mm | vs static-amax "
           f"{p1e - p1s:+.3f} mm")
+    # + cpn_int8_maps: int8 pyramid maps into the lifter sampler (the
+    # round-4 HBM lever — the lifter's context now reads 8-bit maps)
+    mmaps = dataclasses.replace(
+        mstream, backbone=dataclasses.replace(
+            mstream.backbone, cpn_int8_maps=True
+        )
+    )
+    p1m = eval_p1(mmaps)
+    print(f"[cpn] trained P1: deploy int8-maps {p1m:.3f} mm | "
+          f"delta vs fp32 {p1m - p1:+.3f} mm | vs int8-stream "
+          f"{p1m - p1e:+.3f} mm")
 
 
 def trained_truncate_ab(steps_n: int = 250):

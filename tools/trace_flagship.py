@@ -72,6 +72,8 @@ def main():
                     help="hrnet_stage4_truncate=True (hrnet presets only)")
     ap.add_argument("--int8-stream", action="store_true",
                     help="cpn_int8_stream=True (CPN presets only)")
+    ap.add_argument("--int8-maps", action="store_true",
+                    help="cpn_int8_maps=True (CPN presets only)")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--top", type=int, default=40)
     args = ap.parse_args()
@@ -118,6 +120,13 @@ def main():
             model_cfg,
             backbone=dataclasses.replace(
                 model_cfg.backbone, cpn_int8_stream=True
+            ),
+        )
+    if args.int8_maps:
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            backbone=dataclasses.replace(
+                model_cfg.backbone, cpn_int8_maps=True
             ),
         )
     model = ContextAwarePoseFormer(cfg=model_cfg, dtype=jnp.bfloat16)
