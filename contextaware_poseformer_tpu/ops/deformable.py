@@ -122,16 +122,26 @@ def _sample_body_xy(xn, yn, f2d, *, h, w, c, border, align_corners,
 
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    wx = (x - x0)[:, None]  # (P, 1)
-    wy = (y - y0)[:, None]
+    # mixing-weight build dtype: the "default" (deploy) mode's MXU dots
+    # consume the one-hot planes as bf16 anyway (m.astype(bf16) at the
+    # dot), so build them in bf16 DIRECTLY — the (P, HW)-sized VPU
+    # compare/select planes are the measured bound of the big-level
+    # kernels (PERF.md round-4 int8-maps page), and bf16 halves their
+    # register/VMEM traffic. Same 2^-8 weight-rounding regime as before
+    # (rounding moves from after the rowv*colv product to before it).
+    wdt = jnp.float32 if precision == "highest" else jnp.bfloat16
+    wx = (x - x0)[:, None].astype(wdt)  # (P, 1)
+    wy = (y - y0)[:, None].astype(wdt)
+    one = jnp.asarray(1.0, wdt)
+    zero = jnp.asarray(0.0, wdt)
     x0i = x0.astype(jnp.int32)[:, None]
     y0i = y0.astype(jnp.int32)[:, None]
 
     hi = jax.lax.Precision.HIGHEST
     if two_stage:
         h_idx = jax.lax.broadcasted_iota(jnp.int32, (p, h), 1)
-        rowv = jnp.where(h_idx == y0i, 1.0 - wy, 0.0) + jnp.where(
-            h_idx == y0i + 1, wy, 0.0
+        rowv = jnp.where(h_idx == y0i, one - wy, zero) + jnp.where(
+            h_idx == y0i + 1, wy, zero
         )  # (P, H)
         # expanded column mix: colv_exp[p, w*C + c] = colv[p, w]. Built
         # DIRECTLY on the VPU: a small (P, W) build expanded through a
@@ -139,8 +149,8 @@ def _sample_body_xy(xn, yn, f2d, *, h, w, c, border, align_corners,
         # flagship shapes — little-matmul pipeline fills beat the VPU
         # compare/select traffic; see PERF.md round-2 negative results).
         w_exp = jax.lax.broadcasted_iota(jnp.int32, (p, w * c), 1) // c
-        colv_exp = jnp.where(w_exp == x0i, 1.0 - wx, 0.0) + jnp.where(
-            w_exp == x0i + 1, wx, 0.0
+        colv_exp = jnp.where(w_exp == x0i, one - wx, zero) + jnp.where(
+            w_exp == x0i + 1, wx, zero
         )  # (P, W*C)
         # one-hot W-axis reduction: S[w*C + c, c'] = (c == c')
         ci = jax.lax.broadcasted_iota(jnp.int32, (w * c, c), 0) % c
@@ -370,14 +380,16 @@ def kernel_can_preproject(h: int, w: int, c: int, hd: int) -> bool:
 
 
 def _sample_multi_kernel(pts_ref, *rest, shapes, proj_dims, border,
-                         align_corners, precision, proj2="off"):
-    """pts (1, L*P_pad, 2) packed level-major; rest = L feature refs, then
-    (kernel, bias) ref pairs for each level with proj_dims[l] set, then L
-    output refs. Projected levels compute Fp = F @ W + b in VMEM (bilinear
+                         align_corners, precision, proj2="off", chunk=1):
+    """pts (chunk, L*P_pad, 2) packed level-major; rest = L feature refs,
+    then (kernel, bias) ref pairs for each level with proj_dims[l] set, then
+    L output refs. Projected levels compute Fp = F @ W + b in VMEM (bilinear
     sampling is channel-linear, so sampling Fp equals projecting samples —
     models/lifter.py pre_project) and sample hd lanes instead of C; a
     projected SEPARABLE level under proj2="fold" instead folds W into the
-    two-stage column-reduction matmul (see PREPROJECT_2STAGE)."""
+    two-stage column-reduction matmul (see PREPROJECT_2STAGE). chunk > 1
+    processes that many batch items per program (CAPF_SAMPLER_BATCH_CHUNK)
+    to amortize per-program fixed cost."""
     levels = len(shapes)
     f_refs = rest[:levels]
     n_proj = sum(1 for d in proj_dims if d)
@@ -385,39 +397,41 @@ def _sample_multi_kernel(pts_ref, *rest, shapes, proj_dims, border,
     out_refs = rest[levels + 2 * n_proj:]
     p_pad = pts_ref.shape[1] // levels
     hi = jax.lax.Precision.HIGHEST
-    pi = 0
-    for l, (h, w, c) in enumerate(shapes):
-        pts = pts_ref[0, l * p_pad:(l + 1) * p_pad]
-        f2d = f_refs[l][0]
-        c_out = c
-        proj = None
-        two_stage = _use_two_stage(h, w, c)
-        if proj_dims[l]:
-            wp, bp = wb_refs[2 * pi][...], wb_refs[2 * pi + 1][...]
-            pi += 1
-            c_out = proj_dims[l]
-            if two_stage and proj2 == "fold":
-                proj = (wp, bp)
-            else:
-                if precision == "highest":
-                    f2d = jnp.dot(f2d.astype(jnp.float32),
-                                  wp.astype(jnp.float32),
-                                  preferred_element_type=jnp.float32,
-                                  precision=hi) + bp
+    for j in range(chunk):
+        pi = 0
+        for l, (h, w, c) in enumerate(shapes):
+            pts = pts_ref[j, l * p_pad:(l + 1) * p_pad]
+            f2d = f_refs[l][j]
+            c_out = c
+            proj = None
+            two_stage = _use_two_stage(h, w, c)
+            if proj_dims[l]:
+                wp, bp = wb_refs[2 * pi][...], wb_refs[2 * pi + 1][...]
+                pi += 1
+                c_out = proj_dims[l]
+                if two_stage and proj2 == "fold":
+                    proj = (wp, bp)
                 else:
-                    f2d = jnp.dot(f2d.astype(jnp.bfloat16),
-                                  wp.astype(jnp.bfloat16),
-                                  preferred_element_type=jnp.float32,
-                                  precision=jax.lax.Precision.DEFAULT) + bp
-                two_stage = False
-        # fold keeps the ORIGINAL c for the two-stage index math (the
-        # (H, W*C) layout is unprojected); the output width is sel's
-        # projected dim instead.
-        out_refs[l][0] = _sample_body(
-            pts, f2d, h=h, w=w, c=(c if proj is not None else c_out),
-            border=border, align_corners=align_corners, precision=precision,
-            two_stage=two_stage, out_dtype=out_refs[l].dtype, proj=proj,
-        )
+                    if precision == "highest":
+                        f2d = jnp.dot(f2d.astype(jnp.float32),
+                                      wp.astype(jnp.float32),
+                                      preferred_element_type=jnp.float32,
+                                      precision=hi) + bp
+                    else:
+                        f2d = jnp.dot(f2d.astype(jnp.bfloat16),
+                                      wp.astype(jnp.bfloat16),
+                                      preferred_element_type=jnp.float32,
+                                      precision=jax.lax.Precision.DEFAULT) + bp
+                    two_stage = False
+            # fold keeps the ORIGINAL c for the two-stage index math (the
+            # (H, W*C) layout is unprojected); the output width is sel's
+            # projected dim instead.
+            out_refs[l][j] = _sample_body(
+                pts, f2d, h=h, w=w, c=(c if proj is not None else c_out),
+                border=border, align_corners=align_corners,
+                precision=precision, two_stage=two_stage,
+                out_dtype=out_refs[l].dtype, proj=proj,
+            )
 
 
 def _multi_fwd_impl(features, points, projs=None, biases=None, *,
@@ -441,16 +455,24 @@ def _multi_fwd_impl(features, points, projs=None, biases=None, *,
     )
     shapes = tuple(f.shape[1:] for f in features)
     proj2 = _proj2_mode()
+    # batch items per program: amortizes the per-program fixed cost of the
+    # (grid=b) launches (128 programs x ~us-scale setup at deploy batch —
+    # PERF.md round-4 sampler page). 1 = the original one-item programs.
+    chunk = int(os.environ.get("CAPF_SAMPLER_BATCH_CHUNK", "1"))
+    if chunk < 1 or b % chunk != 0:
+        chunk = 1
     f_ins, f_specs = [], []
     for f, d in zip(features, proj_dims):
         _, h, w, c = f.shape
         if _use_two_stage(h, w, c) and (not d or proj2 == "fold"):
             f_ins.append(f.reshape(b, h, w * c))
-            f_specs.append(pl.BlockSpec((1, h, w * c), lambda i: (i, 0, 0),
+            f_specs.append(pl.BlockSpec((chunk, h, w * c),
+                                        lambda i: (i, 0, 0),
                                         memory_space=pltpu.VMEM))
         else:
             f_ins.append(f.reshape(b, h * w, c))
-            f_specs.append(pl.BlockSpec((1, h * w, c), lambda i: (i, 0, 0),
+            f_specs.append(pl.BlockSpec((chunk, h * w, c),
+                                        lambda i: (i, 0, 0),
                                         memory_space=pltpu.VMEM))
     wb_ins, wb_specs = [], []
     for wk, bi in zip(projs, biases):
@@ -468,19 +490,19 @@ def _multi_fwd_impl(features, points, projs=None, biases=None, *,
     kernel = functools.partial(
         _sample_multi_kernel, shapes=shapes, proj_dims=proj_dims,
         border=padding_mode == "border", align_corners=align_corners,
-        precision=precision, proj2=proj2,
+        precision=precision, proj2=proj2, chunk=chunk,
     )
     outs = pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b // chunk,),
         in_specs=[
-            pl.BlockSpec((1, levels * p_pad, 2), lambda i: (i, 0, 0),
+            pl.BlockSpec((chunk, levels * p_pad, 2), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             *f_specs,
             *wb_specs,
         ],
         out_specs=[
-            pl.BlockSpec((1, p_pad, c), lambda i: (i, 0, 0),
+            pl.BlockSpec((chunk, p_pad, c), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
             for c in out_c
         ],
