@@ -428,6 +428,14 @@ def deploy(cfg: Config) -> Config:
                 # (deploy_numerics --cpn-only): P1 delta -0.468 mm vs fp32
                 # — no cost. PERF.md round-4 CPN page.
                 cpn_int8_stream=(cfg.model.backbone.kind == "cpn"),
+                # CPN only: int8 pyramid maps into the lifter sampler —
+                # round-4 device A/B 13.87 -> 13.53 ms/iter (copies and
+                # lifter-side fusions shrink; the sampler kernels are VPU
+                # m-build bound, so the halved map reads are free but not
+                # faster). Trained accuracy gate (deploy_numerics
+                # --cpn-only): P1 -0.351 mm vs fp32, +0.117 vs int8-stream
+                # — within the accepted deploy-trade scale. PERF.md round-4.
+                cpn_int8_maps=(cfg.model.backbone.kind == "cpn"),
             ),
             lifter=replace(
                 cfg.model.lifter,

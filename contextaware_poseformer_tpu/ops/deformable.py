@@ -122,26 +122,22 @@ def _sample_body_xy(xn, yn, f2d, *, h, w, c, border, align_corners,
 
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    # mixing-weight build dtype: the "default" (deploy) mode's MXU dots
-    # consume the one-hot planes as bf16 anyway (m.astype(bf16) at the
-    # dot), so build them in bf16 DIRECTLY — the (P, HW)-sized VPU
-    # compare/select planes are the measured bound of the big-level
-    # kernels (PERF.md round-4 int8-maps page), and bf16 halves their
-    # register/VMEM traffic. Same 2^-8 weight-rounding regime as before
-    # (rounding moves from after the rowv*colv product to before it).
-    wdt = jnp.float32 if precision == "highest" else jnp.bfloat16
-    wx = (x - x0)[:, None].astype(wdt)  # (P, 1)
-    wy = (y - y0)[:, None].astype(wdt)
-    one = jnp.asarray(1.0, wdt)
-    zero = jnp.asarray(0.0, wdt)
+    # NOTE (round-4 negative result): building these one-hot planes in
+    # bf16 directly (instead of f32-build + bf16-cast at the dots) fails
+    # Mosaic compilation on hardware — the i1 compare masks live in
+    # 32-bit-tiled layouts and the bf16 select needs an unsupported
+    # (8,128)->(16,128) mask relayout ("Invalid relayout ... i1"). The
+    # f32 build stays; interpret mode does NOT catch this class of break.
+    wx = (x - x0)[:, None]  # (P, 1)
+    wy = (y - y0)[:, None]
     x0i = x0.astype(jnp.int32)[:, None]
     y0i = y0.astype(jnp.int32)[:, None]
 
     hi = jax.lax.Precision.HIGHEST
     if two_stage:
         h_idx = jax.lax.broadcasted_iota(jnp.int32, (p, h), 1)
-        rowv = jnp.where(h_idx == y0i, one - wy, zero) + jnp.where(
-            h_idx == y0i + 1, wy, zero
+        rowv = jnp.where(h_idx == y0i, 1.0 - wy, 0.0) + jnp.where(
+            h_idx == y0i + 1, wy, 0.0
         )  # (P, H)
         # expanded column mix: colv_exp[p, w*C + c] = colv[p, w]. Built
         # DIRECTLY on the VPU: a small (P, W) build expanded through a
@@ -149,8 +145,8 @@ def _sample_body_xy(xn, yn, f2d, *, h, w, c, border, align_corners,
         # flagship shapes — little-matmul pipeline fills beat the VPU
         # compare/select traffic; see PERF.md round-2 negative results).
         w_exp = jax.lax.broadcasted_iota(jnp.int32, (p, w * c), 1) // c
-        colv_exp = jnp.where(w_exp == x0i, one - wx, zero) + jnp.where(
-            w_exp == x0i + 1, wx, zero
+        colv_exp = jnp.where(w_exp == x0i, 1.0 - wx, 0.0) + jnp.where(
+            w_exp == x0i + 1, wx, 0.0
         )  # (P, W*C)
         # one-hot W-axis reduction: S[w*C + c, c'] = (c == c')
         ci = jax.lax.broadcasted_iota(jnp.int32, (w * c, c), 0) % c
