@@ -362,6 +362,30 @@ def sample_points(
 # ---------------------------------------------------------------------------
 
 
+def _batch_chunk(b: int) -> int:
+    """Batch items per program for the multi-level sampler launches
+    (CAPF_SAMPLER_BATCH_CHUNK): amortizes the per-program fixed cost of
+    the grid=(b,) dispatch (128 one-item programs at deploy batch; CPN
+    device A/B: chunk=4 cut the sampler family 8.03 -> 7.04 ms per 3
+    iters — PERF.md round-4). "auto" (the default) picks the largest of
+    4/2/1 dividing the batch; an explicit int that does not divide b
+    falls back to 1. Shipped default after device A/Bs on BOTH kernel
+    families: CPN one-stage 13.53 -> 13.20 ms/iter, hrnet two-stage
+    18.97 -> 18.83 (sampler family 4.47 -> 4.11). Mosaic reuses the
+    per-item one-hot plane buffers across the chunk (measured: the CPN
+    /4 level compiles at chunk=4 where a no-reuse estimate would be ~4x
+    over the scoped-VMEM limit), so only the maps and outputs scale with
+    chunk in the VMEM grouping estimate."""
+    v = os.environ.get("CAPF_SAMPLER_BATCH_CHUNK", "auto")
+    if v == "auto":
+        for k in (4, 2):
+            if b % k == 0:
+                return k
+        return 1
+    k = int(v)
+    return k if k >= 1 and b % k == 0 else 1
+
+
 def kernel_can_preproject(h: int, w: int, c: int, hd: int) -> bool:
     """True when the fused kernel can run a channel projection (C -> hd)
     IN-VMEM before sampling level (h, w, c). One-stage levels project the
@@ -451,12 +475,7 @@ def _multi_fwd_impl(features, points, projs=None, biases=None, *,
     )
     shapes = tuple(f.shape[1:] for f in features)
     proj2 = _proj2_mode()
-    # batch items per program: amortizes the per-program fixed cost of the
-    # (grid=b) launches (128 programs x ~us-scale setup at deploy batch —
-    # PERF.md round-4 sampler page). 1 = the original one-item programs.
-    chunk = int(os.environ.get("CAPF_SAMPLER_BATCH_CHUNK", "1"))
-    if chunk < 1 or b % chunk != 0:
-        chunk = 1
+    chunk = _batch_chunk(b)
     f_ins, f_specs = [], []
     for f, d in zip(features, proj_dims):
         _, h, w, c = f.shape
@@ -1121,19 +1140,22 @@ _VMEM_GROUP_BUDGET = 13 * 2**20
 
 
 def _vmem_level_groups(shapes, p_pad: int, feat_bytes: int,
-                       proj_dims=None) -> list:
+                       proj_dims=None, chunk: int = 1) -> list:
     """Greedy contiguous grouping of levels so each fused launch's estimated
     per-program VMEM stays under budget. Estimate mirrors _sample_body's
     live tensors (f32 mixing matrices dominate); a level that alone exceeds
     the budget is emitted alone and left to the real 16 MB limit.
     proj_dims[l] (in-kernel projection to hd lanes) adds the projected
-    feature copy and shrinks the sampled output."""
+    feature copy and shrinks the sampled output. chunk scales the
+    DMA-resident tensors (maps, points, outputs) only — Mosaic reuses the
+    per-item plane buffers across the chunk loop (see _batch_chunk)."""
     est = []
     proj2 = _proj2_mode()
     for i, (h, w, c) in enumerate(shapes):
         d = proj_dims[i] if proj_dims else 0
         co = d or c
-        e = h * w * c * feat_bytes + p_pad * co * feat_bytes  # feature + out
+        # feature + out scale with chunk (block-resident for all items)
+        e = chunk * (h * w * c * feat_bytes + p_pad * co * feat_bytes)
         if _use_two_stage(h, w, c) and (not d or proj2 == "fold"):
             # two-stage live set; fold adds the projected selection matrix
             e += p_pad * h * 4 + 2 * p_pad * w * c * 4 + w * c * c * 4
@@ -1197,6 +1219,7 @@ def sample_points_levels(
             tuple(f.shape[1:] for f in features), p_pad,
             jnp.dtype(features[0].dtype).itemsize,
             [w.shape[-1] if w is not None else 0 for w in projs],
+            chunk=_batch_chunk(features[0].shape[0]),
         )
         outs = []
         for lo, hi in groups:
