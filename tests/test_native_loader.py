@@ -1,7 +1,5 @@
 """Native C++ loader: build, decode parity vs cv2, crop parity, batch path."""
 
-import os
-
 import numpy as np
 import pytest
 
@@ -10,13 +8,20 @@ cv2 = pytest.importorskip("cv2")
 from contextaware_poseformer_tpu.data import native_loader
 from contextaware_poseformer_tpu.utils import geometry
 
-import os
-
-os.environ["CAPF_NATIVE_LOADER"] = "1"  # force the native path under test
-
 pytestmark = pytest.mark.skipif(
     not native_loader.buildable(), reason="native toolchain unavailable"
 )
+
+
+@pytest.fixture(autouse=True)
+def _force_native(monkeypatch):
+    """Force the native path for THESE tests only. A module-level
+    os.environ assignment here executes at pytest COLLECTION time and
+    leaks into every other test in the process — it made
+    frame_store.build_store take the native load_batch path while the
+    frame-store tests compared against cv2 load_image (+-1 LSB decoder
+    difference, order-dependent suite failure)."""
+    monkeypatch.setenv("CAPF_NATIVE_LOADER", "1")
 
 
 @pytest.fixture(scope="module")
