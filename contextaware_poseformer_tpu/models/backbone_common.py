@@ -24,6 +24,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 
@@ -379,10 +380,24 @@ def check_calibrated(variables: dict) -> None:
 
 
 def max_pool_3x3_s2(x: jax.Array) -> jax.Array:
-    """torch MaxPool2d(kernel=3, stride=2, padding=1) on NHWC."""
+    """torch MaxPool2d(kernel=3, stride=2, padding=1) on NHWC.
+
+    Identity init (-inf / int min) so padding never wins: every window of
+    the pad=1 grid holds >=4 real pixels. int8 inputs are exact — max
+    commutes with the monotone quantize, so pooling the quantized stem
+    equals quantizing the pooled stem (models/cpn.py stream path)."""
+    # init must stay a CONCRETE (numpy) scalar: a traced jnp init breaks
+    # the reduce_window autodiff rule ("Linearization failed ...") on the
+    # training path; a bare python int arrives as int32 and fails the
+    # int8 dtype check.
+    init = (
+        np.asarray(np.iinfo(np.dtype(x.dtype)).min, x.dtype)[()]
+        if jnp.issubdtype(x.dtype, jnp.integer)
+        else -jnp.inf
+    )
     return jax.lax.reduce_window(
         x,
-        -jnp.inf,
+        init,
         jax.lax.max,
         window_dimensions=(1, 3, 3, 1),
         window_strides=(1, 2, 2, 1),

@@ -188,18 +188,26 @@ class CPN(nn.Module):
             features=64, kernel_size=7, stride=2, relu=True,
             dtype=self.dtype, name="resnet.conv1",
         )(x)
-        x = max_pool_3x3_s2(x)
 
         stream = self._stream_on()
         calibrating = self._stream_calibrating()
         if calibrating:
+            # observe the PRE-pool stem (the stream graph quantizes there);
+            # max-pool commutes with the monotone quantize, so the pooled
+            # int8 tensor is exactly quant(pool(x)) under the same scale.
             self._observe(self._cvar("resnet.in_amax"), x)
 
         feats = []  # [x1 /4, x2 /8, x3 /16, x4 /32]; int8 pairs when stream
         planes = (64, 128, 256, 512)
         if stream:
+            # quantize BEFORE the pool: the stem conv's 201 MB bf16 output
+            # (batch 128) and the pool's read of it were the two biggest
+            # HBM movers after the int8 stream landed (round-4 trace:
+            # fusion.302 389 us + reduce_window 310 us/iter) — s8 halves
+            # both passes; the pool runs on s8 (exact, see max_pool_3x3_s2).
             in_a = jnp.maximum(self._cvar("resnet.in_amax").value, 1e-12)
-            xq, amax = _quant_i8(x, in_a), in_a
+            xq = max_pool_3x3_s2(_quant_i8(x, in_a))
+            amax = in_a
             for li, (p, blocks) in enumerate(
                 zip(planes, self.cfg.cpn_layers)
             ):
@@ -215,6 +223,7 @@ class CPN(nn.Module):
                     )
                 feats.append((xq, amax))
         else:
+            x = max_pool_3x3_s2(x)
             for li, (p, blocks) in enumerate(
                 zip(planes, self.cfg.cpn_layers)
             ):
@@ -246,11 +255,27 @@ class CPN(nn.Module):
             global_fms.append(feature)
             if i != 3:
                 n, h, w, _ = feature.shape
-                u = resize_bilinear_align_corners(feature, (2 * h, 2 * w))
                 # Sequential[Upsample, Conv, BN]: conv at idx 1, bn at idx 2
-                up = self._conv(
+                up_conv = self._conv(
                     f"global_net.upsamples.{i}.1", LATERAL_CH, 1, 1, relu=False
-                )(u)
+                )
+                if self.cfg.quantize == "serve":
+                    # serve graphs run the 1x1 conv BEFORE the x2 upsample:
+                    # a pointwise-linear map commutes exactly with bilinear
+                    # interpolation (conv(resize(x)) == resize(conv(x)) up
+                    # to fp rounding), so the conv does 4x fewer MACs and
+                    # reads/writes the small map — the reference order
+                    # (upsamples.2.1 at /4) was the single biggest op in the
+                    # round-4 CPN trace (585 us/iter incl. fused quantize).
+                    # Training/parity keep the reference order
+                    # (globalNet.py:61-83). Calibration observes this same
+                    # graph, so serve scales stay self-consistent.
+                    up = resize_bilinear_align_corners(
+                        up_conv(feature), (2 * h, 2 * w)
+                    )
+                else:
+                    u = resize_bilinear_align_corners(feature, (2 * h, 2 * w))
+                    up = up_conv(u)
 
         # --- refineNet (refineNet.py:46-88) ---
         # int8 maps: hand the lifter (s8 map, dequant scale) pairs instead

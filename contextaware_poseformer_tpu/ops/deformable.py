@@ -7,13 +7,14 @@ level per block (pose_dformer.py:127-129). XLA lowers the jnp formulation
 rows underuse the hardware. This kernel reformulates bilinear sampling as two
 dense ONE-HOT contractions that run on the MXU/VPU with zero gathers:
 
-  row mix    R[p, h] = (h == y0_p) * (1 - wy_p) + (h == y0_p + 1) * wy_p
-  col mix    C[p, w] = (w == x0_p) * (1 - wx_p) + (w == x0_p + 1) * wx_p
+  row mix    R[p, h] = relu(1 - |y_p - h|)   (triangle kernel == bilinear)
+  col mix    C[p, w] = relu(1 - |x_p - w|)
   G  = R @ F.reshape(H, W*C)          # MXU: (P, H) x (H, W*C)
   out[p, c] = sum_w C[p, w] * G[p, w, c]   # VPU reduce
 
-Out-of-bounds handling falls out of the one-hot construction: an index
-outside [0, size) matches nothing and contributes zero — exactly torch's
+Out-of-bounds handling falls out of the triangle support: an index more
+than one step from the coordinate gets zero weight, and a coordinate
+outside [0, size) reaches no in-bounds tap — exactly torch's
 zeros-padding semantics; border mode clamps the *coordinates* first
 (identical to ops/grid_sample.py, which remains the reference implementation
 and the training backward).
@@ -79,7 +80,9 @@ def _sample_body(pts, f2d, *, h, w, c, border, align_corners, precision,
 
     One-stage: build the full bilinear mixing matrix
     M[p, h*W+w] = row_p(h) * col_p(w) with 2D elementwise ops only (Mosaic
-    forbids lane-folding reshapes inside kernels), then one MXU matmul M @ F.
+    forbids lane-folding reshapes inside kernels), then one MXU matmul
+    M @ F. Rows/cols are triangle-kernel weights relu(1-|coord-index|)
+    (see the build-site comment for exactness under both padding modes).
 
     Two-stage (separable): the one-stage dot has N = C output lanes; for
     large small-channel levels (64x48x32: N=32 -> 25% lane use, 24 TFLOP/s)
@@ -89,8 +92,9 @@ def _sample_body(pts, f2d, *, h, w, c, border, align_corners, precision,
     slice-accumulate column blend was tried and is instruction-bound:
     962us vs 250us vs 599us one-stage).
 
-    Out-of-bounds falls out of the one-hot construction (an index outside
-    [0, size) matches nothing -> zeros padding); border mode clamps the
+    Out-of-bounds contributes zero weight in either form (triangle support
+    is only the two nearest integer taps; an out-of-range coordinate
+    reaches no in-bounds tap -> zeros padding); border mode clamps the
     coordinates first. precision="highest" = fp32 MXU passes (exact parity
     with the gather formulation); "default" = single bf16 pass with fp32
     accumulation (~2^-8 weight rounding, the bf16-backbone deploy mode).
@@ -120,24 +124,30 @@ def _sample_body_xy(xn, yn, f2d, *, h, w, c, border, align_corners,
         x = jnp.clip(x, 0.0, w - 1)
         y = jnp.clip(y, 0.0, h - 1)
 
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    # NOTE (round-4 negative result): building these one-hot planes in
-    # bf16 directly (instead of f32-build + bf16-cast at the dots) fails
-    # Mosaic compilation on hardware — the i1 compare masks live in
-    # 32-bit-tiled layouts and the bf16 select needs an unsupported
-    # (8,128)->(16,128) mask relayout ("Invalid relayout ... i1"). The
-    # f32 build stays; interpret mode does NOT catch this class of break.
-    wx = (x - x0)[:, None]  # (P, 1)
-    wy = (y - y0)[:, None]
-    x0i = x0.astype(jnp.int32)[:, None]
-    y0i = y0.astype(jnp.int32)[:, None]
+    # Triangle-kernel mixing build: bilinear weight at integer index k is
+    # exactly relu(1 - |coord - k|) for BOTH padding modes (border clamps
+    # the coords first; for zeros an out-of-range coord puts triangle
+    # weight only on in-bounds taps, identical to a floor/one-hot
+    # construction). The index planes are point-independent (CSE'd across
+    # the batch-chunk loop); per point-plane this is 4 VPU ops + mul vs 11
+    # for the floor + two-compare/two-select/add form it replaced — the
+    # m-build is the measured bound of the big-map kernels, and the swap
+    # A/B'd 7.04 -> 5.92 ms per 3 iters on the CPN sampler family
+    # (PERF.md round-4). NOTE (round-4 negative result): building these
+    # planes in bf16 directly (instead of f32-build + bf16-cast at the
+    # dots) fails Mosaic compilation on hardware — the i1 compare masks
+    # live in 32-bit-tiled layouts and the bf16 select needs an
+    # unsupported (8,128)->(16,128) mask relayout ("Invalid relayout ...
+    # i1"). The f32 build stays; interpret mode does NOT catch this class
+    # of break.
+    xcol = x[:, None]  # (P, 1)
+    ycol = y[:, None]
 
     hi = jax.lax.Precision.HIGHEST
     if two_stage:
         h_idx = jax.lax.broadcasted_iota(jnp.int32, (p, h), 1)
-        rowv = jnp.where(h_idx == y0i, 1.0 - wy, 0.0) + jnp.where(
-            h_idx == y0i + 1, wy, 0.0
+        rowv = jnp.maximum(
+            0.0, 1.0 - jnp.abs(ycol - h_idx.astype(jnp.float32))
         )  # (P, H)
         # expanded column mix: colv_exp[p, w*C + c] = colv[p, w]. Built
         # DIRECTLY on the VPU: a small (P, W) build expanded through a
@@ -145,8 +155,8 @@ def _sample_body_xy(xn, yn, f2d, *, h, w, c, border, align_corners,
         # flagship shapes — little-matmul pipeline fills beat the VPU
         # compare/select traffic; see PERF.md round-2 negative results).
         w_exp = jax.lax.broadcasted_iota(jnp.int32, (p, w * c), 1) // c
-        colv_exp = jnp.where(w_exp == x0i, 1.0 - wx, 0.0) + jnp.where(
-            w_exp == x0i + 1, wx, 0.0
+        colv_exp = jnp.maximum(
+            0.0, 1.0 - jnp.abs(xcol - w_exp.astype(jnp.float32))
         )  # (P, W*C)
         # one-hot W-axis reduction: S[w*C + c, c'] = (c == c')
         ci = jax.lax.broadcasted_iota(jnp.int32, (w * c, c), 0) % c
@@ -188,12 +198,8 @@ def _sample_body_xy(xn, yn, f2d, *, h, w, c, border, align_corners,
     iota_hw = jax.lax.broadcasted_iota(jnp.int32, (p, h * w), 1)
     h_idx = iota_hw // w
     w_idx = iota_hw - h_idx * w
-    rowv = jnp.where(h_idx == y0i, 1.0 - wy, 0.0) + jnp.where(
-        h_idx == y0i + 1, wy, 0.0
-    )
-    colv = jnp.where(w_idx == x0i, 1.0 - wx, 0.0) + jnp.where(
-        w_idx == x0i + 1, wx, 0.0
-    )
+    rowv = jnp.maximum(0.0, 1.0 - jnp.abs(ycol - h_idx.astype(jnp.float32)))
+    colv = jnp.maximum(0.0, 1.0 - jnp.abs(xcol - w_idx.astype(jnp.float32)))
     m = rowv * colv  # (P, H*W), 4 nonzeros per row
     if precision == "highest":
         out = jnp.dot(m, f2d.astype(jnp.float32),
