@@ -405,12 +405,16 @@ def kernel_can_preproject(h: int, w: int, c: int, hd: int) -> bool:
     return not _use_two_stage(h, w, c) or _proj2_mode() != "off"
 
 
-def _sample_multi_kernel(pts_ref, *rest, shapes, proj_dims, border,
+def _sample_multi_kernel(xs_ref, ys_ref, *rest, shapes, proj_dims, border,
                          align_corners, precision, proj2="off", chunk=1):
-    """pts (chunk, L*P_pad, 2) packed level-major; rest = L feature refs,
-    then (kernel, bias) ref pairs for each level with proj_dims[l] set, then
-    L output refs. Projected levels compute Fp = F @ W + b in VMEM (bilinear
-    sampling is channel-linear, so sampling Fp equals projecting samples —
+    """xs/ys (chunk, L*P_pad) packed level-major — SEPARATE lane-major
+    coordinate operands, not a (..., 2) points array: the 2-minor layout
+    forced ~85 us/launch relayout copies between the offsets producer and
+    the kernel (round-4 trace, copies .734-.740), while two flat vectors
+    fuse into the producer. rest = L feature refs, then (kernel, bias) ref
+    pairs for each level with proj_dims[l] set, then L output refs.
+    Projected levels compute Fp = F @ W + b in VMEM (bilinear sampling is
+    channel-linear, so sampling Fp equals projecting samples —
     models/lifter.py pre_project) and sample hd lanes instead of C; a
     projected SEPARABLE level under proj2="fold" instead folds W into the
     two-stage column-reduction matmul (see PREPROJECT_2STAGE). chunk > 1
@@ -421,12 +425,13 @@ def _sample_multi_kernel(pts_ref, *rest, shapes, proj_dims, border,
     n_proj = sum(1 for d in proj_dims if d)
     wb_refs = rest[levels:levels + 2 * n_proj]
     out_refs = rest[levels + 2 * n_proj:]
-    p_pad = pts_ref.shape[1] // levels
+    p_pad = xs_ref.shape[1] // levels
     hi = jax.lax.Precision.HIGHEST
     for j in range(chunk):
         pi = 0
         for l, (h, w, c) in enumerate(shapes):
-            pts = pts_ref[j, l * p_pad:(l + 1) * p_pad]
+            xn = xs_ref[j, l * p_pad:(l + 1) * p_pad]
+            yn = ys_ref[j, l * p_pad:(l + 1) * p_pad]
             f2d = f_refs[l][j]
             c_out = c
             proj = None
@@ -452,8 +457,8 @@ def _sample_multi_kernel(pts_ref, *rest, shapes, proj_dims, border,
             # fold keeps the ORIGINAL c for the two-stage index math (the
             # (H, W*C) layout is unprojected); the output width is sel's
             # projected dim instead.
-            out_refs[l][j] = _sample_body(
-                pts, f2d, h=h, w=w, c=(c if proj is not None else c_out),
+            out_refs[l][j] = _sample_body_xy(
+                xn, yn, f2d, h=h, w=w, c=(c if proj is not None else c_out),
                 border=border, align_corners=align_corners,
                 precision=precision, two_stage=two_stage,
                 out_dtype=out_refs[l].dtype, proj=proj,
@@ -468,9 +473,16 @@ def _multi_fwd_impl(features, points, projs=None, biases=None, *,
     pts = points.reshape(b, levels, -1, 2)
     p = pts.shape[2]
     p_pad = _round_up(max(p, 8), 8)
+    # split x/y into SEPARATE flat lane-major operands (see
+    # _sample_multi_kernel) — the strided component reads fuse into the
+    # offsets producer instead of paying a (..., 2)-minor relayout copy
+    # per launch
+    xs, ys = pts[..., 0], pts[..., 1]  # (b, L, P)
     if p_pad != p:
-        pts = jnp.pad(pts, ((0, 0), (0, 0), (0, p_pad - p), (0, 0)))
-    pts = pts.reshape(b, levels * p_pad, 2)
+        xs = jnp.pad(xs, ((0, 0), (0, 0), (0, p_pad - p)))
+        ys = jnp.pad(ys, ((0, 0), (0, 0), (0, p_pad - p)))
+    xs = xs.reshape(b, levels * p_pad)
+    ys = ys.reshape(b, levels * p_pad)
 
     if projs is None:
         projs = (None,) * levels
@@ -513,12 +525,14 @@ def _multi_fwd_impl(features, points, projs=None, biases=None, *,
         border=padding_mode == "border", align_corners=align_corners,
         precision=precision, proj2=proj2, chunk=chunk,
     )
+    coord_spec = pl.BlockSpec((chunk, levels * p_pad), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         kernel,
         grid=(b // chunk,),
         in_specs=[
-            pl.BlockSpec((chunk, levels * p_pad, 2), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            coord_spec,
+            coord_spec,
             *f_specs,
             *wb_specs,
         ],
@@ -551,7 +565,7 @@ def _multi_fwd_impl(features, points, projs=None, biases=None, *,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(pts, *f_ins, *wb_ins)
+    )(xs, ys, *f_ins, *wb_ins)
     return tuple(
         o[:, :p].reshape(b, *batch_shape, c)
         for o, c in zip(outs, out_c)
