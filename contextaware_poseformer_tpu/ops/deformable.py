@@ -407,11 +407,17 @@ def kernel_can_preproject(h: int, w: int, c: int, hd: int) -> bool:
 
 def _sample_multi_kernel(xs_ref, ys_ref, *rest, shapes, proj_dims, border,
                          align_corners, precision, proj2="off", chunk=1):
-    """xs/ys (chunk, L*P_pad) packed level-major — SEPARATE lane-major
+    """xs/ys (1, chunk, L*P_pad) packed level-major — SEPARATE lane-major
     coordinate operands, not a (..., 2) points array: the 2-minor layout
     forced ~85 us/launch relayout copies between the offsets producer and
     the kernel (round-4 trace, copies .734-.740), while two flat vectors
-    fuse into the producer. rest = L feature refs, then (kernel, bias) ref
+    fuse into the producer. The leading 1 is the grid-blocked batch-chunk
+    axis: the operand is a (b//chunk, chunk, L*P_pad) view whose block
+    keeps the trailing TWO dims equal to the array dims — a flat
+    (chunk, L*P_pad) block on a (b, L*P_pad) array is ILLEGAL under
+    Mosaic's sublane rule whenever chunk < b and chunk % 8 != 0 (the
+    round-4 HEAD regression: compiled at batch 2 smoke, failed at deploy
+    batch 128). rest = L feature refs, then (kernel, bias) ref
     pairs for each level with proj_dims[l] set, then L output refs.
     Projected levels compute Fp = F @ W + b in VMEM (bilinear sampling is
     channel-linear, so sampling Fp equals projecting samples —
@@ -425,13 +431,13 @@ def _sample_multi_kernel(xs_ref, ys_ref, *rest, shapes, proj_dims, border,
     n_proj = sum(1 for d in proj_dims if d)
     wb_refs = rest[levels:levels + 2 * n_proj]
     out_refs = rest[levels + 2 * n_proj:]
-    p_pad = xs_ref.shape[1] // levels
+    p_pad = xs_ref.shape[2] // levels
     hi = jax.lax.Precision.HIGHEST
     for j in range(chunk):
         pi = 0
         for l, (h, w, c) in enumerate(shapes):
-            xn = xs_ref[j, l * p_pad:(l + 1) * p_pad]
-            yn = ys_ref[j, l * p_pad:(l + 1) * p_pad]
+            xn = xs_ref[0, j, l * p_pad:(l + 1) * p_pad]
+            yn = ys_ref[0, j, l * p_pad:(l + 1) * p_pad]
             f2d = f_refs[l][j]
             c_out = c
             proj = None
@@ -481,8 +487,12 @@ def _multi_fwd_impl(features, points, projs=None, biases=None, *,
     if p_pad != p:
         xs = jnp.pad(xs, ((0, 0), (0, 0), (0, p_pad - p)))
         ys = jnp.pad(ys, ((0, 0), (0, 0), (0, p_pad - p)))
-    xs = xs.reshape(b, levels * p_pad)
-    ys = ys.reshape(b, levels * p_pad)
+    chunk = _batch_chunk(b)
+    # 3D (b//chunk, chunk, L*p_pad) view: the coord block must keep its
+    # trailing two dims equal to the array dims (Mosaic sublane rule) —
+    # see _sample_multi_kernel docstring.
+    xs = xs.reshape(b // chunk, chunk, levels * p_pad)
+    ys = ys.reshape(b // chunk, chunk, levels * p_pad)
 
     if projs is None:
         projs = (None,) * levels
@@ -493,7 +503,6 @@ def _multi_fwd_impl(features, points, projs=None, biases=None, *,
     )
     shapes = tuple(f.shape[1:] for f in features)
     proj2 = _proj2_mode()
-    chunk = _batch_chunk(b)
     f_ins, f_specs = [], []
     for f, d in zip(features, proj_dims):
         _, h, w, c = f.shape
@@ -525,7 +534,8 @@ def _multi_fwd_impl(features, points, projs=None, biases=None, *,
         border=padding_mode == "border", align_corners=align_corners,
         precision=precision, proj2=proj2, chunk=chunk,
     )
-    coord_spec = pl.BlockSpec((chunk, levels * p_pad), lambda i: (i, 0),
+    coord_spec = pl.BlockSpec((1, chunk, levels * p_pad),
+                              lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         kernel,

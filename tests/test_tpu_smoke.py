@@ -64,6 +64,45 @@ def test_fused_sampler_on_tpu(tpu):
         )
 
 
+def test_fused_sampler_chunked_on_tpu(tpu, monkeypatch):
+    """The deploy-batch regime: batch LARGER than the sampler chunk.
+
+    The round-4 HEAD regression (coord BlockSpec (chunk, L*P) on a
+    (b, L*P) array) lowered fine whenever chunk == batch — which is all
+    the other smoke cases cover — and failed Mosaic's sublane rule only
+    at chunk < batch (deploy batch 128, chunk 4). This case pins
+    chunk=4 at batch 16 so that regression class fails HERE, in a 30s
+    smoke compile, instead of zeroing a 10-minute bench."""
+    import jax
+    import jax.numpy as jnp
+
+    from contextaware_poseformer_tpu.ops import deformable, grid_sample
+
+    monkeypatch.setenv("CAPF_SAMPLER_BATCH_CHUNK", "4")
+    rng = np.random.RandomState(6)
+    b = 16
+    feats = tuple(
+        jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+        for (h, w, c) in ((64, 48, 32), (8, 6, 64))
+    )
+    pts = jnp.asarray(
+        rng.uniform(-1.1, 1.1, (b, 2, 17, 4, 2)).astype(np.float32))
+
+    got = jax.jit(
+        lambda f, p: deformable.sample_points_levels(
+            f, p, padding_mode="border", impl="fused"
+        )
+    )(feats, pts)
+    want = tuple(
+        grid_sample.grid_sample_points(f, pts[:, l], padding_mode="border")
+        for l, f in enumerate(feats)
+    )
+    for g, w_ in zip(got, want):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w_), rtol=2e-5, atol=2e-5
+        )
+
+
 def test_fused_attention_on_tpu(tpu):
     import jax
     import jax.numpy as jnp
