@@ -52,19 +52,49 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 
 
 def _retry(fn, *, what: str, attempts: int = RETRY_ATTEMPTS,
-           backoff_s: float = RETRY_BACKOFF_S):
+           backoff_s: float = RETRY_BACKOFF_S,
+           attempt_timeout_s: float | None = None):
     """Bounded retry with exponential backoff for flaky tunnel ops.
 
     Transient device_put / first-dispatch failures through the axon tunnel
     are a documented failure mode (BENCH_r02.json rc=1); one retry usually
     lands. Re-raises the last error after `attempts` tries.
+
+    `attempt_timeout_s`: also treat an attempt that does not RETURN within
+    the deadline as failed (observed round-5 failure mode: the tunnel's
+    data plane hangs device transfers indefinitely with no exception — the
+    bench must emit its diagnostic JSON line, not hang until the driver's
+    timeout). The hung attempt's daemon thread is abandoned; on final
+    failure the caller gets a TimeoutError.
     """
     import sys
 
     last = None
     for i in range(attempts):
         try:
-            return fn()
+            if attempt_timeout_s is None:
+                return fn()
+            import threading
+
+            box: dict = {}
+
+            def run():
+                try:
+                    box["ok"] = fn()
+                except Exception as e:  # noqa: BLE001
+                    box["err"] = e
+
+            t = threading.Thread(target=run, daemon=True)
+            t.start()
+            t.join(attempt_timeout_s)
+            if t.is_alive():
+                raise TimeoutError(
+                    f"{what} still blocked after {attempt_timeout_s:.0f}s "
+                    "(axon tunnel data-plane hang)"
+                )
+            if "err" in box:
+                raise box["err"]
+            return box.get("ok")
         except Exception as e:  # noqa: BLE001 — tunnel errors vary by type
             last = e
             if i + 1 < attempts:
@@ -78,7 +108,7 @@ def _retry(fn, *, what: str, attempts: int = RETRY_ATTEMPTS,
     raise last
 
 
-def _require_backend() -> None:
+def _require_backend(preset_name: str, batch: int) -> None:
     """Fail with ONE readable line (not a 50-frame traceback) when the TPU
     backend is unreachable. Two observed failure modes through the axon
     tunnel: a fast RuntimeError at init, and an indefinite hang — probe in a
@@ -107,7 +137,8 @@ def _require_backend() -> None:
     if "error" in result:
         print(f"bench.py: TPU backend unavailable — {result['error']}",
               file=sys.stderr, flush=True)
-        _emit_failure("n/a", 0, f"TPU backend unavailable: {result['error']}")
+        _emit_failure(preset_name, batch,
+                      f"TPU backend unavailable: {result['error']}")
         sys.stderr.flush()
         sys.stdout.flush()
         # os._exit: the hung init thread can block normal interpreter exit
@@ -159,7 +190,7 @@ def _emit_failure(preset_name: str, batch: int, error: str) -> None:
 def _measure(preset_name: str, batch: int) -> dict:
     import jax
 
-    _require_backend()
+    _require_backend(preset_name, batch)
 
     import jax.numpy as jnp
 
@@ -179,8 +210,10 @@ def _measure(preset_name: str, batch: int) -> dict:
     kp_np = rng.uniform(-1, 1, (batch, 17, 2)).astype(np.float32)
     kpc_np = rng.uniform(0, w, (batch, 17, 2)).astype(np.float32)
     imgs_u8, kp, kpc = _retry(
-        lambda: (jnp.asarray(imgs_np), jnp.asarray(kp_np), jnp.asarray(kpc_np)),
-        what="input device transfer",
+        lambda: jax.block_until_ready(
+            (jnp.asarray(imgs_np), jnp.asarray(kp_np), jnp.asarray(kpc_np))
+        ),
+        what="input device transfer", attempt_timeout_s=600.0,
     )
 
     params = model.init(
@@ -206,8 +239,9 @@ def _measure(preset_name: str, batch: int) -> dict:
         cal_batches = []
         for s in range(0, min(64, batch - batch % 16 or batch), 16):
             cal_batches.append((
-                augment.normalize_images(
-                    imgs_np[s:s + 16], cfg.model.backbone.kind
+                augment.serving_images(
+                    jnp.asarray(imgs_np[s:s + 16]), model_cfg.backbone,
+                    dtype=jnp.float32,
                 ),
                 kp_np[s:s + 16],
                 kpc_np[s:s + 16],
@@ -229,14 +263,14 @@ def _measure(preset_name: str, batch: int) -> dict:
                 k: jax.device_put(v, tpu)
                 for k, v in cal_vars.items() if k != "params"
             },
-            what="calibration device transfer",
+            what="calibration device transfer", attempt_timeout_s=600.0,
         ),
     }
 
     @jax.jit
     def lift(params, imgs_u8, kp, kpc, salt):
-        imgs = augment.normalize_images(
-            imgs_u8, cfg.model.backbone.kind, dtype=jnp.bfloat16
+        imgs = augment.serving_images(
+            imgs_u8, model_cfg.backbone, dtype=jnp.bfloat16
         )
         # anti-caching salt rides on the KEYPOINTS (tiny tensor): salting the
         # image tensor added a 180us materialize+relayout pass (copy.198)
@@ -247,7 +281,7 @@ def _measure(preset_name: str, batch: int) -> dict:
         lambda: jax.block_until_ready(
             lift(params, imgs_u8, kp, kpc, jnp.float32(0))
         ),
-        what="compile + first dispatch",
+        what="compile + first dispatch", attempt_timeout_s=2000.0,
     )
 
     best_dt = float("inf")
@@ -259,7 +293,7 @@ def _measure(preset_name: str, batch: int) -> dict:
             out = lift(params, imgs_u8, kp, kpc, jnp.float32(salt * 1e-9))
         _ = np.asarray(
             _retry(lambda: jax.device_get(out[0, 0, 0]),
-                   what="completion fetch")
+                   what="completion fetch", attempt_timeout_s=600.0)
         )  # true completion
         best_dt = min(best_dt, (time.perf_counter() - t0) / ITERS_PER_BURST)
 

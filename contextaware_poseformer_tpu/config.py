@@ -113,6 +113,22 @@ class BackboneConfig:
     # every deploy trade (tools/deploy_numerics.py --cpn-only). Ignored
     # unless cpn_int8_stream and cpn_native_pyramid are both on.
     cpn_int8_maps: bool = False
+    # CPN only, quantize="serve": fold the image normalization into the
+    # stem conv and feed the model RAW uint8 BGR frames. The model bitcasts
+    # u8^0x80 to s8 (= u8-128, exact), flips BGR->RGB, and runs conv1 as an
+    # s8 x int8-weight conv with the 1/255 dequant scale folded into the BN
+    # affine; the constant normalization offset (128/255 - mean) becomes a
+    # border-aware bias map (conv of the constant image under zero padding
+    # — exact, including edges; see models/cpn.py). Removes the u8->bf16
+    # normalize convert + relayout of the full-res image (copy.522,
+    # ~174 us/iter at batch 128 — round-4b trace) and shrinks the input
+    # HBM write 2x (s8 vs bf16). The ONLY approximation is the stem
+    # weight int8 rounding (per-output-channel scales); accuracy-gated via
+    # tools/deploy_numerics.py like every serve trade. When on, serving
+    # callers pass raw u8 via augment.serving_images; float inputs still
+    # take the standard path (dtype dispatch), so parity/training are
+    # unaffected. Ignored unless kind == "cpn" and quantize == "serve".
+    cpn_fold_normalize: bool = False
     # HRNet only: run stage4 with ONLY its first module (drop modules 1-2,
     # ~2/3 of stage-4 branch compute + 2 fuse sets). Levels 1-3 are ALREADY
     # the first stage-4 module's pre-fuse branch outputs (the reference's

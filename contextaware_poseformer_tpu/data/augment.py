@@ -65,6 +65,26 @@ def normalize_images(
     raise ValueError(backbone_kind)
 
 
+def serving_images(
+    images_u8_bgr: jax.Array, backbone_cfg, dtype=jnp.bfloat16
+) -> jax.Array:
+    """Model-input images for a SERVING graph, honoring cpn_fold_normalize.
+
+    When the backbone folds normalization into its stem conv
+    (config.BackboneConfig.cpn_fold_normalize, serve-only), the model takes
+    the raw uint8 BGR frames directly — the u8->float convert + relayout
+    this skips was ~174 us/iter at batch 128 (round-4b trace copy.522).
+    Otherwise this is normalize_images at the backbone compute dtype.
+    """
+    if (
+        backbone_cfg.kind == "cpn"
+        and backbone_cfg.quantize == "serve"
+        and backbone_cfg.cpn_fold_normalize
+    ):
+        return images_u8_bgr
+    return normalize_images(images_u8_bgr, backbone_cfg.kind, dtype=dtype)
+
+
 def root_center(keypoints_3d: jax.Array, root_idx: int) -> jax.Array:
     """Subtract the root joint and zero it (utils.py:52-53)."""
     root = keypoints_3d[..., root_idx : root_idx + 1, :]

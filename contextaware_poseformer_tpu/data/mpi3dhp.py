@@ -282,22 +282,25 @@ def window_indices(
     pad: int = 0,
     causal_shift: int = 0,
     out_all: bool = True,
-) -> tuple[np.ndarray, np.ndarray, int]:
-    """Per-pair (idx_2d, idx_3d, image_frame) local frame indices.
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Per-pair (idx_2d, idx_2d_crop, idx_3d, image_frame) local indices.
 
     The reference edge-pads the slice `[start-pad-shift, end+pad-shift)`
     (generator_3dhp.py:147-207); clipping the index range to [0, T-1] is
     numerically identical and keeps the window a single fixed-shape gather.
     `out_all=True` (opt default) makes the 3D window equal the 2D window;
-    otherwise 3D covers just [start, end). `reverse` flips both windows
-    (:179-180,206-207). The image is always the single frame at `start`
-    (:140-141) — the model is single-frame even with temporal label windows.
+    otherwise 3D covers just [start, end). `reverse` flips batch_2d and
+    batch_3d (:179-180,206-207) but NOT batch_2d_crop — the crop window
+    stays forward in the reference, so idx_2d_crop is the unreversed
+    idx_2d. The image is always the single frame at `start` (:140-141) —
+    the model is single-frame even with temporal label windows.
     """
     _, start, end, _flip, reverse = (int(v) for v in pair)
     idx_2d = np.clip(
         np.arange(start - pad - causal_shift, end + pad - causal_shift),
         0, seq_length - 1,
     )
+    idx_2d_crop = idx_2d
     if out_all:
         idx_3d = idx_2d.copy()
     else:
@@ -305,7 +308,7 @@ def window_indices(
     if reverse:
         idx_2d = idx_2d[::-1].copy()
         idx_3d = idx_3d[::-1].copy()
-    return idx_2d, idx_3d, int(np.clip(start, 0, seq_length - 1))
+    return idx_2d, idx_2d_crop, idx_3d, int(np.clip(start, 0, seq_length - 1))
 
 
 @dataclass
@@ -333,7 +336,7 @@ class Mpi3dhpWindows:
         pair = self.pairs[i]
         sid = int(pair[0])
         T = int(self.seq_lengths[sid])
-        idx_2d, idx_3d, img_frame = window_indices(
+        idx_2d, idx_2d_crop, idx_3d, img_frame = window_indices(
             pair, T, pad=self.pad, causal_shift=self.causal_shift,
             out_all=self.out_all,
         )
@@ -342,7 +345,7 @@ class Mpi3dhpWindows:
             "seq_id": sid,
             "flip": bool(pair[3]),
             "joints_2d": self.ds.joints_2d[base + idx_2d],
-            "joints_2d_crop": self.ds.joints_2d_crop[base + idx_2d],
+            "joints_2d_crop": self.ds.joints_2d_crop[base + idx_2d_crop],
             "joints_3d": self.ds.joints_3d[base + idx_3d],
             "image_index": base + img_frame,
         }

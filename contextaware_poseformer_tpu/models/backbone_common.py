@@ -96,7 +96,7 @@ class ConvBN(nn.Module):
     serve_static_amax: bool = False
 
     @nn.compact
-    def __call__(self, x, x_quant=None, packed=False):
+    def __call__(self, x, x_quant=None, packed=False, raw=False):
         """x: float NHWC input, or None when `x_quant` is given.
 
         `x_quant=(xq_int8, amax)` feeds an already-quantized tensor with its
@@ -108,6 +108,11 @@ class ConvBN(nn.Module):
         and returns `(kernel_q, wscale, scale, bias)` — the raw pieces the
         fused Pallas layer1 chain (ops/layer1_chain.py) assembles itself.
         Participates in the same "qweights" store/populate protocol.
+
+        `raw=True` (float path only): return `scale * conv(x)` WITHOUT the
+        bias add or relu — the linear part of the affine, used by the
+        normalize-fold stem to evaluate the conv on the constant
+        normalization-offset image (models/cpn.py cpn_fold_normalize).
         """
         in_ch = (
             x if packed else (x if x_quant is None else x_quant[0]).shape[-1]
@@ -214,6 +219,8 @@ class ConvBN(nn.Module):
                 padding=[(pad, pad), (pad, pad)],
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
+            if raw:
+                return y * scale.astype(self.dtype)
             y = y * scale.astype(self.dtype) + bias.astype(self.dtype)
         if self.relu:
             y = jax.nn.relu(y)

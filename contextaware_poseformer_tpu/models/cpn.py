@@ -182,12 +182,47 @@ class CPN(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> list[jax.Array]:
-        """x: (N, H, W, 3) -> 4 maps (N, H/4, W/4, 256), deepest first."""
+        """x: (N, H, W, 3) normalized float -> 4 maps (N, H/4, W/4, 256),
+        deepest first. Under cpn_fold_normalize (serve), x may instead be
+        RAW uint8 BGR frames — dtype dispatch keeps float callers on the
+        reference graph."""
         # --- ResNet-50 (resnet.py:97-147) ---
-        x = ConvBN(
-            features=64, kernel_size=7, stride=2, relu=True,
+        fold = (
+            self.cfg.quantize == "serve"
+            and self.cfg.cpn_fold_normalize
+            and x.dtype == jnp.uint8
+        )
+        conv1 = ConvBN(
+            features=64, kernel_size=7, stride=2, relu=not fold,
             dtype=self.dtype, name="resnet.conv1",
-        )(x)
+        )
+        if fold:
+            # normalize folded into the stem conv (config.BackboneConfig
+            # cpn_fold_normalize): x_norm = (u8_rgb - pixel_mean)/255
+            #   = s8/255 + c,  s8 = u8 - 128 (exact via ^0x80 bitcast),
+            #   c = (128 - pixel_mean)/255 per RGB channel.
+            # conv(x_norm) = conv(s8)/255 + conv(c * valid_mask): the first
+            # term is an s8 x int8-weight conv with dequant amax 127/255
+            # (ConvBN folds it into the BN affine); the second is the conv
+            # of the constant offset image under the SAME zero padding — a
+            # batch-1 (H/2, W/2, 64) bias map that is exact including the
+            # border ring where zero padding breaks translation invariance.
+            from contextaware_poseformer_tpu.data.augment import (
+                CPN_PIXEL_MEAN,
+            )
+
+            s8 = jax.lax.bitcast_convert_type(
+                x ^ jnp.uint8(0x80), jnp.int8
+            )[..., ::-1]  # BGR -> RGB on the 1-byte view
+            c_off = (
+                128.0 - jnp.asarray(CPN_PIXEL_MEAN, jnp.float32)
+            ) / 255.0
+            cimg = jnp.broadcast_to(c_off, (1,) + x.shape[1:3] + (3,))
+            bias_map = conv1(cimg.astype(jnp.float32), raw=True)
+            ys = conv1(None, x_quant=(s8, jnp.float32(127.0 / 255.0)))
+            x = jax.nn.relu(ys + bias_map)
+        else:
+            x = conv1(x)
 
         stream = self._stream_on()
         calibrating = self._stream_calibrating()

@@ -57,11 +57,13 @@ class StreamingLifter:
         self.params = params
         h, w = model_cfg.image_shape
         self._hw = (h, w)
-        kind = model_cfg.backbone.kind
+        bcfg = model_cfg.backbone
 
         @jax.jit
         def step(params, frames_u8, kp2d_full_norm, kp2d_crop):
-            imgs = augment.normalize_images(frames_u8, kind)
+            # raw-u8 passthrough under cpn_fold_normalize (stem-folded
+            # normalization); normalize otherwise
+            imgs = augment.serving_images(frames_u8, bcfg, dtype=jnp.float32)
             return self.model.apply(params, imgs, kp2d_full_norm, kp2d_crop)
 
         self._step = step
@@ -93,8 +95,9 @@ class StreamingLifter:
         kp_norm, crop = self._preprocess(
             keypoints_2d_full, image_wh, centers, scales
         )
-        imgs = augment.normalize_images(
-            jnp.asarray(frames_u8), self.model_cfg.backbone.kind
+        imgs = augment.serving_images(
+            jnp.asarray(frames_u8), self.model_cfg.backbone,
+            dtype=jnp.float32,
         )
         self.params = prepare_serving(
             self.model, dict(self.params),

@@ -63,11 +63,12 @@ def _use_two_stage(h: int, w: int, c: int) -> bool:
 #               and sample hd output lanes — C/hd fewer sampling FLOPs but
 #               hd/128 lane fill on the big M @ Fp matmul.
 # Measured round 4 (experiments/preproject2_ab.py, real chip): see PERF.md.
-PREPROJECT_2STAGE = os.environ.get("CAPF_PREPROJECT_2STAGE", "off")
 
 
 def _proj2_mode() -> str:
-    mode = PREPROJECT_2STAGE
+    # read per call (like CAPF_SAMPLER_BATCH_CHUNK) so setting the env var
+    # after import still takes effect in A/B harnesses
+    mode = os.environ.get("CAPF_PREPROJECT_2STAGE", "off")
     if mode not in ("off", "fold", "onestage"):
         raise ValueError(f"CAPF_PREPROJECT_2STAGE={mode!r}")
     return mode

@@ -174,7 +174,7 @@ def _match_image(dts, gts, thr: float, area_rng) -> tuple[list, list]:
     """
     gt_ignore = [
         g["crowd"]
-        or not (area_rng[0] <= g["area"] < area_rng[1])
+        or not (area_rng[0] <= g["area"] <= area_rng[1])
         or g["num_keypoints"] == 0
         for g in gts
     ]
@@ -193,7 +193,9 @@ def _match_image(dts, gts, thr: float, area_rng) -> tuple[list, list]:
             if oks > best_oks:
                 best, best_oks = gi, oks
         if best == -1:
-            out_of_range = not (area_rng[0] <= dt["area"] < area_rng[1])
+            # closed upper bound: pycocotools ignores when area > aRng[1],
+            # so area == aRng[1] is IN range (both bounds inclusive)
+            out_of_range = not (area_rng[0] <= dt["area"] <= area_rng[1])
             dt_matched.append(False)
             dt_ignore.append(out_of_range)
         else:

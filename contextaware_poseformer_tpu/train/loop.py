@@ -217,8 +217,9 @@ class Trainer:
         batches = []
         for raw, _valid in it:
             batches.append((
-                augment.normalize_images(
-                    jnp.asarray(raw.images_u8), self.cfg.model.backbone.kind
+                augment.serving_images(
+                    jnp.asarray(raw.images_u8), self.cfg.model.backbone,
+                    dtype=jnp.float32,
                 ),
                 jnp.asarray(raw.keypoints_2d),
                 jnp.asarray(raw.keypoints_2d_crop),

@@ -104,11 +104,13 @@ class RawBatch(NamedTuple):
     keypoints_2d_crop: jax.Array  # (b, J, 2) crop pixels
 
 
-def _prepare(raw: RawBatch, backbone_kind: str, task: Task,
+def _prepare(raw: RawBatch, backbone_cfg, task: Task,
              image_dtype=None) -> augment.Batch:
+    # serving_images: raw u8 passthrough when the serve graph folds
+    # normalization into the stem (cpn_fold_normalize); else normalize
     return augment.Batch(
-        images=augment.normalize_images(
-            raw.images_u8, backbone_kind, dtype=image_dtype or jnp.float32
+        images=augment.serving_images(
+            raw.images_u8, backbone_cfg, dtype=image_dtype or jnp.float32
         ),
         keypoints_3d=augment.root_center(raw.keypoints_3d, task.root_idx),
         keypoints_2d=raw.keypoints_2d,
@@ -124,7 +126,7 @@ def make_train_step(model, cfg: Config, optimizer) -> Callable:
             '"none" or "c128" and switch via config.deploy for serving'
         )
     task = Task.for_config(cfg)
-    kind = cfg.model.backbone.kind
+    bcfg = cfg.model.backbone
     loss_fn_name = cfg.train.loss
     loss_fn = losses.LOSSES[loss_fn_name]
 
@@ -132,7 +134,7 @@ def make_train_step(model, cfg: Config, optimizer) -> Callable:
         aug_rng, erase_rng, drop_rng = jax.random.split(
             jax.random.fold_in(rng, state.step), 3
         )
-        batch = _prepare(raw, kind, task)
+        batch = _prepare(raw, bcfg, task)
         if cfg.train.flip_aug:
             batch = augment.train_augment(aug_rng, batch, task.flip_perm,
                                           task.crop_width)
@@ -178,7 +180,7 @@ def make_eval_step(model, cfg: Config, extra_variables: dict | None = None) -> C
     (e.g. "calib"/"qweights" from models.prepare_serving for the
     quantize="serve" deployment mode); closed over, not traced per call."""
     task = Task.for_config(cfg)
-    kind = cfg.model.backbone.kind
+    bcfg = cfg.model.backbone
     extra = extra_variables or {}
     # deploy numerics: normalize straight into the backbone compute dtype
     # (the separate f32->bf16 convert pass cost ~180us/batch in traces)
@@ -187,7 +189,7 @@ def make_eval_step(model, cfg: Config, extra_variables: dict | None = None) -> C
     )
 
     def eval_step(params, raw: RawBatch):
-        batch = _prepare(raw, kind, task, image_dtype=img_dtype)
+        batch = _prepare(raw, bcfg, task, image_dtype=img_dtype)
 
         def fwd(images, kp2d, kp2d_crop):
             return model.apply(
@@ -224,7 +226,7 @@ def init_state(model, cfg: Config, optimizer, rng: jax.Array,
                sample: RawBatch) -> TrainState:
     task = Task.for_config(cfg)
     sample = RawBatch(*(jnp.asarray(x) for x in sample))  # host numpy ok
-    batch = _prepare(sample, cfg.model.backbone.kind, task)
+    batch = _prepare(sample, cfg.model.backbone, task)
     params = model.init(
         rng, batch.images, batch.keypoints_2d, batch.keypoints_2d_crop
     )["params"]

@@ -14,6 +14,7 @@ Usage: python experiments/preproject2_ab.py [--preset hr32|hr48]
 """
 import argparse
 import sys
+import os
 import tempfile
 
 sys.path.insert(0, "/root/repo")
@@ -81,7 +82,7 @@ def make(mode):
 
 runs = {}
 for mode in MODES:
-    deformable.PREPROJECT_2STAGE = mode
+    os.environ["CAPF_PREPROJECT_2STAGE"] = mode
     runs[mode] = make(mode)
     jax.block_until_ready(runs[mode](feats, pts, jnp.float32(0)))
 
@@ -89,7 +90,7 @@ tmp = tempfile.mkdtemp(prefix="preproject2_ab_")
 jax.profiler.start_trace(tmp)
 o = None
 for k, mode in enumerate(MODES):
-    deformable.PREPROJECT_2STAGE = mode
+    os.environ["CAPF_PREPROJECT_2STAGE"] = mode
     for i in range(args.iters):
         o = runs[mode](feats, pts, jnp.float32((k * 100 + i + 1) * 1e-6))
     jax.block_until_ready(o)
@@ -121,7 +122,7 @@ times.sort()
 p_pad = deformable._round_up(17 * 16, 8)  # points.shape[2:-1] per level
 launches = {}
 for mode in MODES:
-    deformable.PREPROJECT_2STAGE = mode
+    os.environ["CAPF_PREPROJECT_2STAGE"] = mode
     pd = [
         (HD if deformable.kernel_can_preproject(h, w, c, HD) else 0)
         for h, w, c in shapes

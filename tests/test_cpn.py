@@ -255,3 +255,93 @@ def test_native_pyramid_backbone_equivalence():
         np.testing.assert_allclose(
             np.asarray(up), np.asarray(fr[i]), rtol=1e-6, atol=1e-6
         )
+
+
+def test_cpn_fold_normalize_stem_exact():
+    """cpn_fold_normalize feeds RAW u8 BGR and folds the normalization into
+    the stem conv: conv(x_norm) = conv_i8(u8-128) / 255 + conv(c*mask) with
+    c = (128 - pixel_mean)/255 and zero padding applied to BOTH terms — the
+    border ring must be exact, not just the interior. White-box oracle from
+    the module's own params + int8 weight grid; also checks the end-to-end
+    maps stay close to the float-input serve graph (only the stem weight
+    rounding differs)."""
+    import dataclasses
+
+    from contextaware_poseformer_tpu.data.augment import (
+        CPN_PIXEL_MEAN,
+        normalize_images,
+    )
+
+    cfg = dataclasses.replace(
+        cpn_backbone(), quantize="serve", cpn_layers=(1, 1, 1, 1),
+        cpn_fold_normalize=True,
+    )
+    m = CPN(cfg=cfg)
+    rng = np.random.RandomState(3)
+    u8 = jnp.asarray(rng.randint(0, 256, (2, 64, 64, 3)).astype(np.uint8))
+    xf = normalize_images(u8, "cpn")
+    v = m.init(jax.random.PRNGKey(0), xf[:1])
+
+    out_fold, inter = m.apply(
+        v, u8, capture_intermediates=True, mutable=["intermediates"]
+    )
+    calls = inter["intermediates"]["resnet.conv1"]["__call__"]
+    assert len(calls) == 2  # (bias_map raw call, s8 x_quant call)
+    stem_model = np.asarray(jax.nn.relu(calls[0] + calls[1]))
+
+    # oracle straight from params + the documented folding algebra
+    p = v["params"]["resnet.conv1"]
+    k = np.asarray(p["kernel"], np.float64)
+    wscale = np.abs(k).max(axis=(0, 1, 2)) / 127.0
+    kq = np.round(k / wscale)
+    s8 = (np.asarray(u8).astype(np.int16) - 128).astype(np.float64)[..., ::-1]
+
+    def conv(x, kk):
+        return np.asarray(jax.lax.conv_general_dilated(
+            jnp.asarray(x, jnp.float32), jnp.asarray(kk, jnp.float32),
+            window_strides=(2, 2), padding=[(3, 3), (3, 3)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ), np.float64)
+
+    c_off = (128.0 - np.asarray(CPN_PIXEL_MEAN)) / 255.0
+    cimg = np.broadcast_to(c_off, (1, 64, 64, 3))
+    lin = conv(s8, kq) * wscale / 255.0 + conv(cimg, k)
+    oracle = np.maximum(
+        lin * np.asarray(p["scale"], np.float64)
+        + np.asarray(p["bias"], np.float64), 0.0,
+    )
+    np.testing.assert_allclose(stem_model, oracle, rtol=1e-4, atol=1e-5)
+
+    # end-to-end: fold(u8) vs float serve graph on normalize_images(u8) —
+    # the stem weight int8 rounding is the ONLY difference
+    out_float = m.apply(v, xf)
+    for lvl, (a, b) in enumerate(zip(out_float, out_fold)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.all(np.isfinite(b)), lvl
+        rel = np.sqrt(np.mean((a - b) ** 2)) / (np.sqrt(np.mean(a**2)) + 1e-9)
+        assert rel < 0.05, (lvl, rel)
+
+
+def test_serving_images_dispatch():
+    """serving_images: raw-u8 passthrough ONLY for cpn serve graphs with
+    the fold knob; every other combination normalizes."""
+    import dataclasses
+
+    from contextaware_poseformer_tpu.data import augment
+
+    u8 = jnp.asarray(
+        np.random.RandomState(0).randint(0, 256, (1, 8, 8, 3), np.uint8)
+    )
+    base = cpn_backbone()
+    fold = dataclasses.replace(
+        base, quantize="serve", cpn_fold_normalize=True
+    )
+    assert augment.serving_images(u8, fold) is u8
+    out = augment.serving_images(u8, base, dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(augment.normalize_images(u8, "cpn")),
+        rtol=0, atol=0,
+    )
+    # fold knob without serve quantization stays on the normalize path
+    fold_noserve = dataclasses.replace(base, cpn_fold_normalize=True)
+    assert augment.serving_images(u8, fold_noserve).dtype == jnp.bfloat16

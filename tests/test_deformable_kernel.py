@@ -143,7 +143,7 @@ def test_two_stage_preproject_matches_gather(proj2, monkeypatch):
     sample_project_points_multi's VJP."""
     from contextaware_poseformer_tpu.ops import deformable as D
 
-    monkeypatch.setattr(D, "PREPROJECT_2STAGE", proj2)
+    monkeypatch.setenv("CAPF_PREPROJECT_2STAGE", proj2)
     rng = np.random.RandomState(6)
     b, p, hd = 2, 11, 8
     dims = ((64, 48, 32), (32, 24, 64))  # separable level + one-stage level

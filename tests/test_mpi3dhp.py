@@ -139,14 +139,24 @@ def _oracle_pairs(seq_lengths, train, chunk_length, reverse_aug, valid=None):
     return pairs
 
 
-def _oracle_window(seq_2d, seq_3d, start, end, pad, reverse, out_all=True):
-    """generator_3dhp.py:147-207 with np.pad 'edge', verbatim semantics."""
+def _oracle_window(seq_2d, seq_3d, start, end, pad, reverse, out_all=True,
+                   seq_2d_crop=None):
+    """generator_3dhp.py:147-207 with np.pad 'edge', verbatim semantics.
+
+    batch_2d_crop is sliced/padded alongside batch_2d (:157-161) but NOT
+    reversed (:179-180 reverses only batch_2d; :206-207 only batch_3d) —
+    the crop window stays forward under reverse augmentation.
+    """
     start_2d, end_2d = start - pad, end + pad
     low = max(start_2d, 0)
     high = min(end_2d, seq_2d.shape[0])
     pl, pr = low - start_2d, end_2d - high
     w2 = np.pad(seq_2d[low:high], ((pl, pr), (0, 0), (0, 0)), "edge") \
         if (pl or pr) else seq_2d[low:high]
+    w2c = None
+    if seq_2d_crop is not None:
+        w2c = np.pad(seq_2d_crop[low:high], ((pl, pr), (0, 0), (0, 0)),
+                     "edge") if (pl or pr) else seq_2d_crop[low:high]
     if out_all:
         w3 = np.pad(seq_3d[low:high], ((pl, pr), (0, 0), (0, 0)), "edge") \
             if (pl or pr) else seq_3d[low:high]
@@ -157,6 +167,8 @@ def _oracle_window(seq_2d, seq_3d, start, end, pad, reverse, out_all=True):
             if (pl3 or pr3) else seq_3d[l3:h3]
     if reverse:
         w2, w3 = w2[::-1].copy(), w3[::-1].copy()
+    if seq_2d_crop is not None:
+        return w2, w3, w2c
     return w2, w3
 
 
@@ -184,14 +196,17 @@ def test_train_windows_match_reference_oracle(tmp_path, frames, chunk_length):
         got = win[i]
         s = starts[sid]
         n = seq_lengths[sid]
-        w2, w3 = _oracle_window(
+        w2, w3, w2c = _oracle_window(
             ds.joints_2d[s:s + n], ds.joints_3d[s:s + n],
             int(lo), int(hi), pad, bool(rev),
+            seq_2d_crop=ds.joints_2d_crop[s:s + n],
         )
         assert got["seq_id"] == sid and got["flip"] == bool(flip)
         assert got["joints_2d"].shape[0] == (hi - lo) + 2 * pad
         np.testing.assert_array_equal(got["joints_2d"], w2)
         np.testing.assert_array_equal(got["joints_3d"], w3)
+        # crop coords are NOT reversed under reverse_aug (generator_3dhp.py)
+        np.testing.assert_array_equal(got["joints_2d_crop"], w2c)
         # image = single frame at the (clamped) chunk start
         assert got["image_index"] == s + int(np.clip(lo, 0, n - 1))
 

@@ -27,7 +27,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def output_delta():
+def output_delta(preset_name: str = "h36m_hrnet_32",
+                 batch: int = 4) -> dict:
     import numpy as np
 
     import jax
@@ -36,8 +37,8 @@ def output_delta():
     from contextaware_poseformer_tpu import config as cfglib
     from contextaware_poseformer_tpu.models import ContextAwarePoseFormer
 
-    cfg = cfglib.preset("h36m_hrnet_32")
-    b = 4
+    cfg = cfglib.preset(preset_name)
+    b = batch
     h, w = cfg.model.image_shape
     rng = np.random.RandomState(0)
     imgs = jnp.asarray(rng.randn(b, h, w, 3).astype(np.float32))
@@ -56,9 +57,16 @@ def output_delta():
     outd = np.asarray(mdep.apply(vdep, imgs, kp, kpc), np.float64)
 
     d = np.abs(out32 - outd) * 1000
-    print(f"full-size random-init output delta (PESSIMISTIC): "
-          f"max {d.max():.3f} mm, mean {d.mean():.3f} mm "
+    res = {
+        "preset": preset_name,
+        "fullsize_delta_max_mm": round(float(d.max()), 4),
+        "fullsize_delta_mean_mm": round(float(d.mean()), 4),
+        "output_scale_mm": round(float(np.abs(out32).mean() * 1000), 1),
+    }
+    print(f"[{preset_name}] full-size random-init output delta "
+          f"(PESSIMISTIC): max {d.max():.3f} mm, mean {d.mean():.3f} mm "
           f"(output scale {np.abs(out32).mean() * 1000:.1f} mm)")
+    return res
 
 
 def trained_ab(steps_n: int = 250):
@@ -131,8 +139,8 @@ def trained_ab(steps_n: int = 250):
             for s in range(0, calib_n, 16):
                 b = batch_of(val_ds, np.arange(s, s + 16))
                 batches.append((
-                    augment.normalize_images(
-                        b.images_u8, model_cfg.backbone.kind
+                    augment.serving_images(
+                        b.images_u8, model_cfg.backbone, dtype=jnp.float32
                     ),
                     b.keypoints_2d, b.keypoints_2d_crop,
                 ))
@@ -243,8 +251,8 @@ def trained_cpn_ab(steps_n: int = 250):
             for s in range(0, calib_n, 16):
                 b = batch_of(val_ds, np.arange(s, s + 16))
                 batches.append((
-                    augment.normalize_images(
-                        b.images_u8, model_cfg.backbone.kind
+                    augment.serving_images(
+                        b.images_u8, model_cfg.backbone, dtype=jnp.float32
                     ),
                     b.keypoints_2d, b.keypoints_2d_crop,
                 ))
@@ -310,6 +318,18 @@ def trained_cpn_ab(steps_n: int = 250):
     print(f"[cpn] trained P1: deploy int8-maps {p1m:.3f} mm | "
           f"delta vs fp32 {p1m - p1:+.3f} mm | vs int8-stream "
           f"{p1m - p1e:+.3f} mm")
+    # + cpn_fold_normalize: raw-u8 input, normalize folded into the stem
+    # conv (round-5 lever — the only approximation is the stem weight int8
+    # rounding; the eval step + calibration feed u8 via serving_images)
+    mfold = dataclasses.replace(
+        mmaps, backbone=dataclasses.replace(
+            mmaps.backbone, cpn_fold_normalize=True
+        )
+    )
+    p1f = eval_p1(mfold)
+    print(f"[cpn] trained P1: deploy fold-normalize {p1f:.3f} mm | "
+          f"delta vs fp32 {p1f - p1:+.3f} mm | vs int8-maps "
+          f"{p1f - p1m:+.3f} mm")
 
 
 def trained_truncate_ab(steps_n: int = 250):
@@ -401,8 +421,8 @@ def trained_truncate_ab(steps_n: int = 250):
             for s in range(0, calib_n, 16):
                 b = batch_of(val_ds, np.arange(s, s + 16))
                 batches.append((
-                    augment.normalize_images(
-                        b.images_u8, model_cfg.backbone.kind
+                    augment.serving_images(
+                        b.images_u8, model_cfg.backbone, dtype=jnp.float32
                     ),
                     b.keypoints_2d, b.keypoints_2d_crop,
                 ))
@@ -453,6 +473,160 @@ def trained_truncate_ab(steps_n: int = 250):
           f"deploy {p1_trd:.3f} mm (delta vs own fp32 {p1_trd - p1_tr:+.3f})")
 
 
+def _tiny_cfg(preset_name: str):
+    """Tiny trainable config in the PRESET's deploy-knob class.
+
+    hrnet presets: width-32 tiny stages so the int8 c>=128 serve rule
+    engages (branch2=128ch, branch3=256ch). cpn: cpn_layers=(1,1,1,1)
+    keeps the 4-level /32../4 sampler geometry. 3dhp presets keep
+    use_deformable=False (the lifter variant that preset class serves).
+    """
+    from contextaware_poseformer_tpu import config as cfglib
+    from contextaware_poseformer_tpu.config import (
+        BackboneConfig,
+        HRNetStageConfig,
+    )
+
+    cfg = cfglib.preset(preset_name)
+    if cfg.model.backbone.kind == "cpn":
+        backbone = dataclasses.replace(
+            cfg.model.backbone, cpn_layers=(1, 1, 1, 1)
+        )
+    else:
+        w = 32
+        c = (w, 2 * w, 4 * w, 8 * w)
+        backbone = BackboneConfig(
+            kind="hrnet", width=w,
+            stage2=HRNetStageConfig(1, 2, (2, 2), c[:2]),
+            stage3=HRNetStageConfig(1, 3, (2, 2, 2), c[:3]),
+            stage4=HRNetStageConfig(1, 4, (2, 2, 2, 2), c),
+        )
+    lifter = dataclasses.replace(
+        cfg.model.lifter, embed_dim_ratio=32, depth=2, levels=4
+    )
+    return dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model, backbone=backbone, lifter=lifter,
+            image_shape=(64, 64),
+        ),
+        train=dataclasses.replace(cfg.train, batch_size=16),
+    )
+
+
+def preset_gate(preset_name: str, steps_n: int = 250) -> dict:
+    """fp32 vs COMPLETE config.deploy serve stack, trained tiny protocol.
+
+    One number per preset per round (VERDICT r4 item 6): the P1 delta of
+    the exact shipped deploy stack (whatever config.deploy currently adds
+    for this preset kind) on a model trained on the synthetic task.
+    """
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from contextaware_poseformer_tpu import config as cfglib
+    from contextaware_poseformer_tpu.data import augment
+    from contextaware_poseformer_tpu.data.synthetic import SyntheticPoseDataset
+    from contextaware_poseformer_tpu.models import (
+        ContextAwarePoseFormer,
+        prepare_serving,
+    )
+    from contextaware_poseformer_tpu.train import steps
+
+    cfg = _tiny_cfg(preset_name)
+    train_ds = SyntheticPoseDataset(size=128, image_shape=(64, 64), seed=0)
+    val_ds = SyntheticPoseDataset(size=64, image_shape=(64, 64), seed=99)
+    model = ContextAwarePoseFormer(cfg=cfg.model)
+    opt = steps.make_optimizer(cfg, steps_per_epoch=100)
+    train_step = jax.jit(steps.make_train_step(model, cfg, opt))
+
+    def batch_of(ds, idx):
+        return steps.RawBatch(
+            jnp.asarray(ds._images[idx]), jnp.asarray(ds.joints_3d[idx]),
+            jnp.asarray(ds.joints_2d[idx]),
+            jnp.asarray(ds.joints_2d_crop[idx]),
+        )
+
+    rng = np.random.RandomState(0)
+    state = steps.init_state(model, cfg, opt, jax.random.PRNGKey(0),
+                             batch_of(train_ds, np.arange(16)))
+    key = jax.random.PRNGKey(1)
+    for _ in range(steps_n):
+        idx = rng.randint(0, len(train_ds), 16)
+        state, aux = train_step(state, batch_of(train_ds, idx), key)
+    print(f"[{preset_name}] trained {steps_n} steps, "
+          f"final loss {float(aux['loss']):.4f}")
+
+    def eval_p1(model_cfg, calib_n: int = 64):
+        m = ContextAwarePoseFormer(cfg=model_cfg)
+        extra = None
+        if model_cfg.backbone.quantize != "none":
+            batches = []
+            for s in range(0, calib_n, 16):
+                b = batch_of(val_ds, np.arange(s, s + 16))
+                batches.append((
+                    augment.serving_images(
+                        b.images_u8, model_cfg.backbone, dtype=jnp.float32
+                    ),
+                    b.keypoints_2d, b.keypoints_2d_crop,
+                ))
+            v = prepare_serving(
+                m, {"params": state.params}, batches[0], batches=batches
+            )
+            extra = {k: v[k] for k in v if k != "params"}
+        estep = jax.jit(steps.make_eval_step(
+            m, dataclasses.replace(cfg, model=model_cfg),
+            extra_variables=extra))
+        errs = []
+        for s in range(0, len(val_ds), 16):
+            idx = np.arange(s, min(s + 16, len(val_ds)))
+            pred, gt = estep(state.params, batch_of(val_ds, idx))
+            errs.append(np.linalg.norm(
+                np.asarray(pred) - np.asarray(gt), axis=-1))
+        return float(np.concatenate(errs).mean() * 1000)
+
+    p1 = eval_p1(cfg.model)
+    p1d = eval_p1(cfglib.deploy(cfg).model)
+    print(f"[{preset_name}] trained P1: fp32 {p1:.3f} mm | "
+          f"full deploy stack {p1d:.3f} mm | delta {p1d - p1:+.3f} mm")
+    return {
+        "preset": preset_name,
+        "tiny_trained_fp32_p1_mm": round(p1, 4),
+        "tiny_trained_deploy_p1_mm": round(p1d, 4),
+        "tiny_trained_delta_mm": round(p1d - p1, 4),
+    }
+
+
+def preset_table(presets, steps_n: int, out_path: str | None,
+                 fullsize_batch: int = 2) -> None:
+    """Emit the per-round deploy-numerics table (DEPLOY_NUMERICS_r*.json):
+    full-size random-init output delta + tiny trained P1 delta for every
+    preset, each under the COMPLETE current serve stack."""
+    import json
+
+    rows = {}
+    for name in presets:
+        row = output_delta(name, batch=fullsize_batch)
+        row.update(preset_gate(name, steps_n))
+        rows[name] = row
+    payload = {
+        "protocol": {
+            "fullsize": f"random-init batch-{fullsize_batch} output |delta| "
+                        "fp32 parity vs config.deploy, mm",
+            "tiny_trained": f"{steps_n}-step synthetic-task training, P1 on "
+                            "64 val samples, fp32 vs config.deploy",
+        },
+        "presets": rows,
+    }
+    print(json.dumps(payload))
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(f"wrote {out_path}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-trained", action="store_true")
@@ -467,11 +641,26 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the axon plugin ignores "
                          "JAX_PLATFORMS; this uses jax.config directly)")
+    ap.add_argument("--table", action="store_true",
+                    help="emit the per-preset round table (full-size "
+                         "random-init delta + tiny trained gate, all "
+                         "presets, complete serve stack)")
+    ap.add_argument("--json-out", default=None,
+                    help="with --table: write DEPLOY_NUMERICS_r*.json here")
+    ap.add_argument("--presets", default=None,
+                    help="with --table: comma-separated preset subset")
     args = ap.parse_args()
     if args.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    if args.table:
+        from contextaware_poseformer_tpu import config as cfglib
+
+        names = (args.presets.split(",") if args.presets
+                 else list(cfglib.PRESETS))
+        preset_table(names, args.steps, args.json_out)
+        return
     if args.truncate:
         trained_truncate_ab(args.steps)
         return

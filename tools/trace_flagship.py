@@ -74,6 +74,9 @@ def main():
                     help="cpn_int8_stream=True (CPN presets only)")
     ap.add_argument("--int8-maps", action="store_true",
                     help="cpn_int8_maps=True (CPN presets only)")
+    ap.add_argument("--fold-normalize", action="store_true",
+                    help="cpn_fold_normalize: raw-u8 input, normalize "
+                         "folded into the stem conv")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--top", type=int, default=40)
     args = ap.parse_args()
@@ -129,6 +132,13 @@ def main():
                 model_cfg.backbone, cpn_int8_maps=True
             ),
         )
+    if args.fold_normalize:
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            backbone=dataclasses.replace(
+                model_cfg.backbone, cpn_fold_normalize=True
+            ),
+        )
     model = ContextAwarePoseFormer(cfg=model_cfg, dtype=jnp.bfloat16)
     h, w = cfg.model.image_shape
     B = args.batch
@@ -150,8 +160,9 @@ def main():
     if model_cfg.backbone.quantize != "none":
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
-            cal_imgs = augment.normalize_images(
-                np.asarray(imgs_u8[:8]), cfg.model.backbone.kind
+            cal_imgs = augment.serving_images(
+                jnp.asarray(np.asarray(imgs_u8[:8])), model_cfg.backbone,
+                dtype=jnp.float32,
             )
             cal_vars = prepare_serving(
                 model,
@@ -169,8 +180,8 @@ def main():
 
     @jax.jit
     def lift(params, imgs_u8, kp, kpc, salt):
-        imgs = augment.normalize_images(
-            imgs_u8, cfg.model.backbone.kind, dtype=jnp.bfloat16
+        imgs = augment.serving_images(
+            imgs_u8, model_cfg.backbone, dtype=jnp.bfloat16
         )
         return model.apply(params, imgs, kp + salt, kpc)
 
