@@ -245,7 +245,7 @@ def oks_ap(results: list[dict], gt_annotations: list[dict]) -> dict[str, float]:
                 dts = sorted(by_img_dt.get(iid, []),
                              key=lambda d: -d["score"])[:MAX_DETS]
                 n_gt += sum(
-                    rng[0] <= g["area"] < rng[1] and g["num_keypoints"] > 0
+                    rng[0] <= g["area"] <= rng[1] and g["num_keypoints"] > 0
                     and not g["crowd"]
                     for g in gts)
                 m, ig = _match_image(dts, gts, float(thr), rng)
