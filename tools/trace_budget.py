@@ -24,10 +24,11 @@ RULES: list[tuple[str, list[str]]] = [
     ("input normalize/bitcast", ["serving_images", "normalize",
                                  "jit(lift)/convert_element_type"]),
     ("sampler (context_block)", ["context_block", "deformable", "multi_level_sample", "sampler"]),
-    # "resnet.conv1" (stem), NOT bare "conv1" — every bottleneck has a
-    # .conv1 and the stem rule precedes the layer rules.
-    ("backbone stem", ["resnet.conv1", "/bn1", "maxpool", "stem",
-                       "reduce_window_max"]),
+    # "resnet.conv1" (CPN stem) / "backbone/conv1|2" (HRNet stem), NOT bare
+    # "conv1" — every bottleneck has a .conv1 and the stem rule precedes
+    # the layer rules.
+    ("backbone stem", ["resnet.conv1", "backbone/conv1", "backbone/conv2",
+                       "/bn1", "maxpool", "stem", "reduce_window_max"]),
     ("backbone layer1", ["layer1"]),
     ("backbone layer2", ["layer2"]),
     ("backbone layer3", ["layer3"]),
@@ -37,7 +38,10 @@ RULES: list[tuple[str, list[str]]] = [
     ("pyramid 2^k upsample einsums", ["pw,nowc", "oh,nhwc", "2k_upsample"]),
     ("globalNet laterals+upsample", ["global_net", "globalnet", "lateral"]),
     ("refineNet", ["refine_net", "refinenet", "refine"]),
-    ("hrnet stages", ["stage2", "stage3", "stage4", "transition", "fuse_"]),
+    ("hrnet transitions+fuse", ["transition", "fuse_", ".fuse", "fuse."]),
+    ("hrnet stage2", ["stage2"]),
+    ("hrnet stage3", ["stage3"]),
+    ("hrnet stage4", ["stage4"]),
     ("lifter attention", ["attention", "attn"]),
     ("lifter MLP/LN", ["mlp", "layernorm", "norm1", "norm2", "ln_"]),
     ("lifter joint res-blocks", ["res_block"]),
