@@ -129,6 +129,19 @@ class BackboneConfig:
     # take the standard path (dtype dispatch), so parity/training are
     # unaffected. Ignored unless kind == "cpn" and quantize == "serve".
     cpn_fold_normalize: bool = False
+    # CPN only, on top of cpn_int8_stream: carry the globalNet TOP-DOWN
+    # stream (the x2-upsampled lateral maps) as s8 with calibrated static
+    # per-hop scales. The up-conv requantizes in its epilogue, the
+    # separable bilinear blend runs on the s8 VALUES in bf16 (convex
+    # weights keep the range; re-round + clip is the only extra error,
+    # <= amax/254 per hop), and the consumer lateral fusion dequantizes
+    # in-register at the add. Halves both HBM passes over the top-down
+    # tensors — the /4-level pair (blend write + lateral read, 2x201 MB
+    # bf16 at batch 128) was measured HBM-bound at ~1.05 ms/iter in the
+    # round-5 bucket budget (PERF.md). Accuracy-gated via
+    # tools/deploy_numerics.py --cpn-only. Ignored unless kind == "cpn",
+    # quantize == "serve", and cpn_int8_stream.
+    cpn_int8_topdown: bool = False
     # HRNet only: run stage4 with ONLY its first module (drop modules 1-2,
     # ~2/3 of stage-4 branch compute + 2 fuse sets). Levels 1-3 are ALREADY
     # the first stage-4 module's pre-fuse branch outputs (the reference's

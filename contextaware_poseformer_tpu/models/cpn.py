@@ -305,9 +305,40 @@ class CPN(nn.Module):
                     # Training/parity keep the reference order
                     # (globalNet.py:61-83). Calibration observes this same
                     # graph, so serve scales stay self-consistent.
-                    up = resize_bilinear_align_corners(
-                        up_conv(feature), (2 * h, 2 * w)
-                    )
+                    pre = up_conv(feature)
+                    topdown = self.cfg.cpn_int8_topdown
+                    if calibrating and topdown:
+                        self._observe(
+                            self._cvar(f"global_net.topdown.{i}_amax"), pre
+                        )
+                    if stream and topdown:
+                        # s8 top-down stream (config.cpn_int8_topdown):
+                        # requantize in the up-conv epilogue, blend the s8
+                        # VALUES in bf16 (align-corners weights are convex:
+                        # the [-127,127] range is preserved; re-round+clip
+                        # is the only extra error), dequantize in-register
+                        # at the consumer's add. Both HBM passes over the
+                        # top-down tensor run at s8 width.
+                        ua = jnp.maximum(
+                            self._cvar(
+                                f"global_net.topdown.{i}_amax"
+                            ).value,
+                            1e-12,
+                        )
+                        ub = resize_bilinear_align_corners(
+                            _quant_i8(pre, ua).astype(self.dtype),
+                            (2 * h, 2 * w),
+                        )
+                        upq = jnp.clip(
+                            jnp.round(ub.astype(jnp.float32)), -127, 127
+                        ).astype(jnp.int8)
+                        up = upq.astype(self.dtype) * (
+                            ua / 127.0
+                        ).astype(self.dtype)
+                    else:
+                        up = resize_bilinear_align_corners(
+                            pre, (2 * h, 2 * w)
+                        )
                 else:
                     u = resize_bilinear_align_corners(feature, (2 * h, 2 * w))
                     up = up_conv(u)

@@ -166,6 +166,58 @@ def test_cpn_int8_stream_matches_serve_path():
 
 
 @pytest.mark.slow
+def test_cpn_int8_topdown_matches_stream_path():
+    """cpn_int8_topdown carries the globalNet top-down (x2-upsampled)
+    tensors as s8 with per-hop calibrated scales. Must reproduce the
+    int8-stream graph up to one requant point per hop: same shapes,
+    finite, small relative deviation; calibration records the hop scales
+    the inference graph reads (global_net.topdown.{i}_amax)."""
+    import dataclasses
+
+    from contextaware_poseformer_tpu.models.backbone_common import (
+        calibrate_quantization,
+        prepare_int8_weights,
+    )
+
+    cfg = dataclasses.replace(
+        cpn_backbone(), quantize="serve", serve_static_amax=True,
+        calib_quantile=0.999, cpn_layers=(1, 1, 1, 1), cpn_int8_stream=True,
+    )
+    cfg_t = dataclasses.replace(cfg, cpn_int8_topdown=True)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+
+    m0, m1 = CPN(cfg=cfg), CPN(cfg=cfg_t)
+    params = {"params": m1.init(jax.random.PRNGKey(0), x)["params"]}
+
+    def prep(m):
+        v = calibrate_quantization(
+            lambda vv, b, **kw: m.apply(vv, b, **kw), dict(params), [x, x]
+        )
+        return prepare_int8_weights(
+            lambda vv, b, **kw: m.apply(vv, b, **kw), v, x
+        )
+
+    v0, v1 = prep(m0), prep(m1)
+    calib_keys = {
+        "/".join(str(k) for k in path)
+        for path, _ in jax.tree_util.tree_flatten_with_path(v1["calib"])[0]
+    }
+    for i in range(3):
+        want = f"global_net.topdown.{i}_amax"
+        assert any(want in k for k in calib_keys), (want, sorted(calib_keys))
+
+    o0, o1 = m0.apply(v0, x), m1.apply(v1, x)
+    assert [a.shape for a in o0] == [a.shape for a in o1]
+    for lvl, (a, b) in enumerate(zip(o0, o1)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.all(np.isfinite(b)), lvl
+        rel = np.sqrt(np.mean((a - b) ** 2)) / (np.sqrt(np.mean(a**2)) + 1e-9)
+        # one extra requant per top-down hop only
+        assert rel < 0.15, (lvl, rel)
+
+
+@pytest.mark.slow
 def test_cpn_int8_maps_composite():
     """cpn_int8_maps hands the lifter s8 pyramid maps + dequant scales.
     The composite must stay close to the bf16-map deploy graph (the only

@@ -1,16 +1,37 @@
-"""Per-bucket MXU arithmetic floors for the DEPLOY serving graph.
+"""Per-bucket rooflines for the DEPLOY serving graph: three floors each.
 
 Pairs with tools/trace_budget.py (measured us/iter per subsystem bucket):
-this walks the jaxpr of the exact serving graph and sums MAC FLOPs per
-bucket (flax module path from eqn.source_info.name_stack, classified with
-the SAME rules as trace_budget), then converts to a 100%-MFU floor at the
-equation's dtype peak (s8 394 TOPS, bf16 197 TF/s, fp32 197/3 — v5e).
+this walks the jaxpr of the exact serving graph and computes, per bucket
+(flax module path from eqn.source_info.name_stack, classified with the
+SAME rules as trace_budget):
 
-This makes the roofline gap adjudicable PER BUCKET (VERDICT r4 items 3/5):
-measured/floor >> 1 on an MXU-dominated bucket = implementation headroom;
-measured >> floor on a VPU bucket (sampler m-build, softmax) = the floor
-is not the binding constraint and the bucket needs a VPU/HBM argument
-instead. Ops inside pallas_call bodies inherit the call's bucket.
+  arith    — MAC FLOPs at the dtype peak (s8 394 TOPS, bf16 197 TF/s,
+             fp32 197/3 — v5e), the classic 100%-MFU bound;
+  lanefill — arith divided by the MXU output-column fill c_out/128: a
+             32-out-channel conv cannot exceed 25% MFU no matter how it
+             is implemented, so this is the STRUCTURAL per-bucket bound;
+  hbm      — bytes of every DISTINCT tensor an MXU op touches (lhs,
+             weights, out) at ~819 GB/s, as a true LOWER bound:
+             (a) deduped globally by jaxpr var AND by alias class
+                 (reshape/transpose/convert chains are one materialized
+                 tensor), so fan-out and producer/consumer pairs count
+                 once — fusion can collapse a boundary's write+read into
+                 one traversal, but a materialized tensor cannot move
+                 less than once;
+             (b) counted at the NARROWEST dtype reachable through the
+                 op's downstream elementwise chain (a conv accumulator
+                 whose epilogue requantizes to s8 materializes 1 byte/
+                 elem, not 4 — XLA fuses the epilogue).
+             pallas_call kernels count their call-boundary operands
+             (inner dots move VMEM, not HBM).
+
+The bucket's floor is max(arith, lanefill, hbm); the binding column names
+the constraint. This makes the roofline gap adjudicable PER BUCKET
+(VERDICT r4 items 3/5): measured >> all three floors = implementation
+headroom; measured ~= hbm = bandwidth-bound (only narrower dtypes or
+fusion restructuring move it); measured ~= lanefill = channel-width
+structural (only a different trained topology moves it). Ops inside
+pallas_call bodies inherit the call's bucket.
 
     JAX_PLATFORM_NAME=cpu python tools/bucket_floors.py --preset h36m_cpn \
         [--batch 128] [--json out.json]
@@ -31,6 +52,7 @@ V5E_PEAK_US_PER_GF = {  # us per GFLOP at 100% MFU
     "bf16": 1e6 / 197e3,
     "fp32": 3e6 / 197e3,  # bf16_3x decomposition
 }
+V5E_HBM_BYTES_PER_US = 819e3  # ~819 GB/s
 
 
 def _conv_flops(eqn) -> float:
@@ -62,7 +84,110 @@ def _dtype_class(eqn) -> str:
     return "bf16"
 
 
-def _walk(jaxpr, bucket_ctx, acc, classify):
+def _aval_bytes(v) -> float:
+    a = v.aval
+    return math.prod(a.shape) * a.dtype.itemsize if a.shape else 0.0
+
+
+def _lane_fill(eqn) -> float:
+    """MXU output-column fill: c_out (conv) / trailing out dim (dot) vs
+    the 128-lane MXU width. The dominant structural underfill for narrow
+    convs (a 32-out-channel conv can never exceed 25% MFU regardless of
+    implementation)."""
+    if eqn.primitive.name == "conv_general_dilated":
+        dn = eqn.params["dimension_numbers"]
+        c_out = eqn.invars[1].aval.shape[dn.rhs_spec[0]]
+    else:
+        c_out = eqn.outvars[0].aval.shape[-1]
+    return min(1.0, c_out / 128.0)
+
+
+def _bump(acc, bucket, kind, flops, fill, bytes_):
+    b = acc.setdefault(bucket, {"gf": {}, "gf_fill": {}, "bytes": 0.0})
+    b["gf"][kind] = b["gf"].get(kind, 0.0) + flops
+    b["gf_fill"][kind] = b["gf_fill"].get(kind, 0.0) + flops / max(fill, 1e-6)
+    b["bytes"] += bytes_
+
+
+# ops that produce a NEW var for the SAME materialized tensor
+_ALIAS = {"reshape", "transpose", "convert_element_type", "squeeze",
+          "expand_dims", "copy", "bitcast_convert_type"}
+# elementwise ops XLA fuses into a producer's epilogue — a narrowing
+# convert at the end of such a chain sets the materialized width
+_EPILOGUE = _ALIAS | {
+    "add", "sub", "mul", "div", "max", "min", "clamp", "round",
+    "floor", "ceil", "sign", "abs", "neg", "exp", "tanh", "logistic",
+    "rsqrt", "sqrt", "integer_pow", "pow", "select_n", "ge", "gt",
+    "le", "lt", "eq", "ne", "and", "or", "not", "xor", "rem",
+    "nextafter", "erf", "custom_jvp_call", "stop_gradient",
+}
+
+
+class _TensorIndex:
+    """Alias classes + downstream-narrowing widths over one jaxpr."""
+
+    def __init__(self):
+        self.root: dict[int, int] = {}   # id(var) -> id(root var)
+        self.width: dict[int, float] = {}  # id(root) -> min downstream itemsize
+        self.seen: set[int] = set()
+
+    def find(self, v) -> int:
+        k = id(v)
+        while k in self.root:
+            k = self.root[k]
+        return k
+
+    def build(self, jaxpr):
+        eqns = []
+
+        def flat(j):
+            for e in j.eqns:
+                eqns.append(e)
+                for sub in e.params.values():
+                    for s in (sub if isinstance(sub, (tuple, list)) else (sub,)):
+                        inner = getattr(s, "jaxpr", s if hasattr(s, "eqns") else None)
+                        if inner is not None and hasattr(inner, "eqns"):
+                            flat(inner)
+
+        flat(jaxpr)
+        for e in eqns:  # forward: union alias chains
+            if e.primitive.name in _ALIAS and len(e.outvars) == 1:
+                iv = e.invars[0]
+                if hasattr(iv, "aval"):
+                    self.root[id(e.outvars[0])] = self.find(iv)
+        for e in reversed(eqns):  # reverse: propagate narrowing widths
+            if e.primitive.name not in _EPILOGUE or len(e.outvars) != 1:
+                continue
+            ov = e.outvars[0]
+            w = min(self.width.get(self.find(ov), float("inf")),
+                    ov.aval.dtype.itemsize if ov.aval.shape else 0)
+            for iv in e.invars:
+                if not hasattr(iv, "aval") or not getattr(iv.aval, "shape", None):
+                    continue
+                r = self.find(iv)
+                self.width[r] = min(self.width.get(r, float("inf")), w)
+
+    def uniq_bytes(self, vs) -> float:
+        """Bytes of tensors not yet counted anywhere in the graph, each at
+        its narrowest materialized width — a true lower bound under
+        arbitrary fan-out, fusion, and requant epilogues."""
+        total = 0.0
+        for v in vs:
+            if not hasattr(v, "aval"):
+                continue
+            r = self.find(v)
+            if r in self.seen:
+                continue
+            self.seen.add(r)
+            a = v.aval
+            if not a.shape:
+                continue
+            w = min(a.dtype.itemsize, self.width.get(r, float("inf")))
+            total += math.prod(a.shape) * w
+        return total
+
+
+def _walk(jaxpr, bucket_ctx, acc, classify, idx, in_pallas=False):
     for eqn in jaxpr.eqns:
         prim = eqn.primitive.name
         # bucket: inherited (inside pallas_call) or from the name stack
@@ -73,16 +198,30 @@ def _walk(jaxpr, bucket_ctx, acc, classify):
             bucket = classify(stack, "") or (
                 f"?{stack[:60]}" if stack else "unscoped kernels (lifter pallas/XLA glue)"
             )
-        if prim == "conv_general_dilated":
-            acc.setdefault(bucket, {}).setdefault(_dtype_class(eqn), [0.0])[0] += _conv_flops(eqn)
+        if prim == "pallas_call":
+            # kernel HBM traffic = the call's operands+outputs, once;
+            # inner dots contribute FLOPs only (they move VMEM, not HBM)
+            by = idx.uniq_bytes(list(eqn.invars) + list(eqn.outvars))
+            _bump(acc, bucket, "bf16", 0.0, 1.0, by)
+        elif prim == "conv_general_dilated":
+            by = 0.0 if in_pallas else idx.uniq_bytes(
+                [eqn.invars[0], eqn.invars[1], eqn.outvars[0]]
+            )
+            _bump(acc, bucket, _dtype_class(eqn), _conv_flops(eqn),
+                  _lane_fill(eqn), by)
         elif prim == "dot_general":
-            acc.setdefault(bucket, {}).setdefault(_dtype_class(eqn), [0.0])[0] += _dot_flops(eqn)
+            by = 0.0 if in_pallas else idx.uniq_bytes(
+                [eqn.invars[0], eqn.invars[1], eqn.outvars[0]]
+            )
+            _bump(acc, bucket, _dtype_class(eqn), _dot_flops(eqn),
+                  _lane_fill(eqn), by)
         sub_ctx = bucket if prim == "pallas_call" else bucket_ctx
         for sub in eqn.params.values():
             for s in (sub if isinstance(sub, (tuple, list)) else (sub,)):
                 inner = getattr(s, "jaxpr", s if hasattr(s, "eqns") else None)
                 if inner is not None and hasattr(inner, "eqns"):
-                    _walk(inner, sub_ctx, acc, classify)
+                    _walk(inner, sub_ctx, acc, classify, idx,
+                          in_pallas or prim == "pallas_call")
 
 
 def main():
@@ -138,33 +277,46 @@ def main():
         jax.ShapeDtypeStruct((B, 17, 2), jnp.float32),
     )
     acc: dict[str, dict[str, list[float]]] = {}
-    _walk(jaxpr.jaxpr, None, acc, classify)
+    idx = _TensorIndex()
+    idx.build(jaxpr.jaxpr)
+    _walk(jaxpr.jaxpr, None, acc, classify, idx)
 
     rows = []
-    for bucket, kinds in acc.items():
-        gf = {k: v[0] / 1e9 for k, v in kinds.items()}
-        floor_us = sum(g * V5E_PEAK_US_PER_GF[k] for k, g in gf.items())
+    for bucket, b in acc.items():
+        gf = {k: v / 1e9 for k, v in b["gf"].items()}
+        gff = {k: v / 1e9 for k, v in b["gf_fill"].items()}
+        arith = sum(g * V5E_PEAK_US_PER_GF[k] for k, g in gf.items())
+        lanefill = sum(g * V5E_PEAK_US_PER_GF[k] for k, g in gff.items())
+        hbm = b["bytes"] / V5E_HBM_BYTES_PER_US
         rows.append({
             "bucket": bucket,
             "gf_per_iter": round(sum(gf.values()), 3),
             "gf_int8": round(gf.get("int8", 0.0), 3),
             "gf_bf16": round(gf.get("bf16", 0.0), 3),
             "gf_fp32": round(gf.get("fp32", 0.0), 3),
-            "floor_us_per_iter": round(floor_us, 1),
+            "arith_floor_us": round(arith, 1),
+            "lanefill_floor_us": round(lanefill, 1),
+            "hbm_floor_us": round(hbm, 1),
+            "floor_us_per_iter": round(max(arith, lanefill, hbm), 1),
         })
     rows.sort(key=lambda r: -r["floor_us_per_iter"])
     total_floor = sum(r["floor_us_per_iter"] for r in rows)
-    print(f"{'bucket':38s} {'GF/iter':>8s} {'int8':>7s} {'bf16':>7s} "
-          f"{'floor us':>9s}")
+    total_arith = sum(r["arith_floor_us"] for r in rows)
+    print(f"{'bucket':38s} {'GF/iter':>8s} {'arith':>8s} {'lanefil':>8s} "
+          f"{'hbm':>8s} {'floor us':>9s}")
     for r in rows:
-        print(f"{r['bucket']:38s} {r['gf_per_iter']:8.2f} {r['gf_int8']:7.2f}"
-              f" {r['gf_bf16']:7.2f} {r['floor_us_per_iter']:9.1f}")
-    print(f"\nTOTAL MXU floor: {total_floor / 1e3:.3f} ms/iter "
+        print(f"{r['bucket']:38s} {r['gf_per_iter']:8.2f}"
+              f" {r['arith_floor_us']:8.1f} {r['lanefill_floor_us']:8.1f}"
+              f" {r['hbm_floor_us']:8.1f} {r['floor_us_per_iter']:9.1f}")
+    print(f"\nTOTAL floor (per-bucket max of arith/lanefill/HBM): "
+          f"{total_floor / 1e3:.3f} ms/iter — arithmetic-only "
+          f"{total_arith / 1e3:.3f} ms/iter "
           f"(batch {B}, {args.preset} deploy graph)")
     if args.json:
         with open(args.json, "w") as f:
             json.dump({"preset": args.preset, "batch": B,
                        "total_floor_us": round(total_floor, 1),
+                       "total_arith_floor_us": round(total_arith, 1),
                        "buckets": rows}, f, indent=1)
         print(f"wrote {args.json}")
 

@@ -330,6 +330,19 @@ def trained_cpn_ab(steps_n: int = 250):
     print(f"[cpn] trained P1: deploy fold-normalize {p1f:.3f} mm | "
           f"delta vs fp32 {p1f - p1:+.3f} mm | vs int8-maps "
           f"{p1f - p1m:+.3f} mm")
+    # + cpn_int8_topdown: s8 globalNet top-down stream (round-5 lever —
+    # the x2-upsampled lateral maps move through HBM at s8 width; one
+    # requant point per top-down hop). Stacked on int8-maps (the shipped
+    # deploy stack), NOT on fold-normalize (measured-negative, closed).
+    mtd = dataclasses.replace(
+        mmaps, backbone=dataclasses.replace(
+            mmaps.backbone, cpn_int8_topdown=True
+        )
+    )
+    p1t = eval_p1(mtd)
+    print(f"[cpn] trained P1: deploy int8-topdown {p1t:.3f} mm | "
+          f"delta vs fp32 {p1t - p1:+.3f} mm | vs int8-maps "
+          f"{p1t - p1m:+.3f} mm")
 
 
 def trained_truncate_ab(steps_n: int = 250):

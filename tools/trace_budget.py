@@ -38,7 +38,7 @@ RULES: list[tuple[str, list[str]]] = [
     ("pyramid 2^k upsample einsums", ["pw,nowc", "oh,nhwc", "2k_upsample"]),
     ("globalNet laterals+upsample", ["global_net", "globalnet", "lateral"]),
     ("refineNet", ["refine_net", "refinenet", "refine"]),
-    ("hrnet transitions+fuse", ["transition", "fuse_", ".fuse", "fuse."]),
+    ("hrnet transitions+fuse", ["transition", "fuse_", "_fuse", ".fuse"]),
     ("hrnet stage2", ["stage2"]),
     ("hrnet stage3", ["stage3"]),
     ("hrnet stage4", ["stage4"]),
