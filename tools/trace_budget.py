@@ -2,7 +2,7 @@
 subsystem bucket (VERDICT r4 item 3: buckets must sum to >=95% of device
 time, no "misc fusion" dumping ground).
 
-    python tools/trace_budget.py <trace_dir> [iters]
+    python tools/trace_budget.py <trace_dir> [iters] [--json out.json]
 
 Classification walks each op's XLA source metadata (tf_op: the flax
 module path, e.g. ".../backbone/layer2_0/conv2/...") with op-name
@@ -69,8 +69,14 @@ def classify(tf_op: str, name: str) -> str | None:
 
 
 def main() -> int:
-    trace_dir = sys.argv[1]
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
+    trace_dir = argv[0]
+    iters = int(argv[1]) if len(argv) > 1 else 3
     files = glob.glob(trace_dir + "/plugins/profile/*/*.trace.json.gz")
     data = json.load(gzip.open(sorted(files)[-1]))
     events = data["traceEvents"]
@@ -104,6 +110,16 @@ def main() -> int:
         print(f"{b:38s} {dur / iters:9.1f} {dur / total * 100:6.2f}")
     cov = 1 - buckets.get("UNATTRIBUTED", 0) / max(total, 1)
     print(f"\nattributed coverage: {cov * 100:.2f}%")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({
+                "trace_dir": trace_dir, "iters": iters,
+                "total_us_per_iter": round(total / iters, 1),
+                "attributed_pct": round(cov * 100, 2),
+                "buckets": {b: round(d / iters, 1)
+                            for b, d in buckets.most_common()},
+            }, f, indent=1)
+        print(f"wrote {json_out}")
     if buckets.get("UNATTRIBUTED", 0):
         print("\n== top unattributed ops (tighten RULES) ==")
         for name, dur in unk.most_common(25):
