@@ -7,9 +7,15 @@ SAME rules as trace_budget):
 
   arith    — MAC FLOPs at the dtype peak (s8 394 TOPS, bf16 197 TF/s,
              fp32 197/3 — v5e), the classic 100%-MFU bound;
-  lanefill — arith divided by the MXU output-column fill c_out/128: a
-             32-out-channel conv cannot exceed 25% MFU no matter how it
-             is implemented, so this is the STRUCTURAL per-bucket bound;
+  lanefill — arith divided by the MXU output-column fill c_out/128,
+             applied ONLY to dots inside pallas_call bodies: we fixed
+             those shapes, so a 32-wide output genuinely caps the MXU at
+             25% — a STRUCTURAL bound on the kernel as written. XLA
+             convs/dots get fill=1: the TPU conv emitter packs spatial
+             positions into lanes and measurably beats c_out/128 (hr32
+             runs 55% MFU on a graph full of 32-channel branch convs),
+             so claiming the naive fill there would put the "floor"
+             above measured time;
   hbm      — bytes of every DISTINCT tensor an MXU op touches (lhs,
              weights, out) at ~819 GB/s, as a true LOWER bound:
              (a) deduped globally by jaxpr var AND by alias class
@@ -208,13 +214,13 @@ def _walk(jaxpr, bucket_ctx, acc, classify, idx, in_pallas=False):
                 [eqn.invars[0], eqn.invars[1], eqn.outvars[0]]
             )
             _bump(acc, bucket, _dtype_class(eqn), _conv_flops(eqn),
-                  _lane_fill(eqn), by)
+                  _lane_fill(eqn) if in_pallas else 1.0, by)
         elif prim == "dot_general":
             by = 0.0 if in_pallas else idx.uniq_bytes(
                 [eqn.invars[0], eqn.invars[1], eqn.outvars[0]]
             )
             _bump(acc, bucket, _dtype_class(eqn), _dot_flops(eqn),
-                  _lane_fill(eqn), by)
+                  _lane_fill(eqn) if in_pallas else 1.0, by)
         sub_ctx = bucket if prim == "pallas_call" else bucket_ctx
         for sub in eqn.params.values():
             for s in (sub if isinstance(sub, (tuple, list)) else (sub,)):
