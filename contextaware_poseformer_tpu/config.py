@@ -130,17 +130,20 @@ class BackboneConfig:
     # unaffected. Ignored unless kind == "cpn" and quantize == "serve".
     cpn_fold_normalize: bool = False
     # CPN only, on top of cpn_int8_stream: carry the globalNet TOP-DOWN
-    # stream (the x2-upsampled lateral maps) as s8 with calibrated static
-    # per-hop scales. The up-conv requantizes in its epilogue, the
-    # separable bilinear blend runs on the s8 VALUES in bf16 (convex
-    # weights keep the range; re-round + clip is the only extra error,
-    # <= amax/254 per hop), and the consumer lateral fusion dequantizes
-    # in-register at the add. Halves both HBM passes over the top-down
-    # tensors — the /4-level pair (blend write + lateral read, 2x201 MB
-    # bf16 at batch 128) was measured HBM-bound at ~1.05 ms/iter in the
-    # round-5 bucket budget (PERF.md). Accuracy-gated via
-    # tools/deploy_numerics.py --cpn-only. Ignored unless kind == "cpn",
-    # quantize == "serve", and cpn_int8_stream.
+    # stream's READ side as s8 with calibrated static per-hop scales.
+    # The up-conv requantizes in its epilogue (fuses — the int8-stream
+    # mechanism), the separable bilinear resize dots read s8 and blend
+    # the integer values in bf16 (align-corners weights are convex, so
+    # values stay in [-127,127] exactly), and the single scalar dequant
+    # multiply fuses into the consumer's lateral add. The blend OUTPUT
+    # stays bf16 ON PURPOSE: the full-s8 variant (post-blend requant,
+    # halving the write side too) measured -3.60% device — XLA refuses
+    # the round/clip/convert epilogue on the col-interp dot and emits
+    # ~603us/iter of standalone clamp_convert passes over the largest
+    # tensors (PERF.md round-5 page). Accuracy-gated via
+    # tools/deploy_numerics.py --cpn-only (full-s8 gate +0.060 mm; this
+    # variant removes one of its two requant points). Ignored unless
+    # kind == "cpn", quantize == "serve", and cpn_int8_stream.
     cpn_int8_topdown: bool = False
     # HRNet only: run stage4 with ONLY its first module (drop modules 1-2,
     # ~2/3 of stage-4 branch compute + 2 fuse sets). Levels 1-3 are ALREADY

@@ -312,13 +312,19 @@ class CPN(nn.Module):
                             self._cvar(f"global_net.topdown.{i}_amax"), pre
                         )
                     if stream and topdown:
-                        # s8 top-down stream (config.cpn_int8_topdown):
-                        # requantize in the up-conv epilogue, blend the s8
-                        # VALUES in bf16 (align-corners weights are convex:
-                        # the [-127,127] range is preserved; re-round+clip
-                        # is the only extra error), dequantize in-register
-                        # at the consumer's add. Both HBM passes over the
-                        # top-down tensor run at s8 width.
+                        # s8 top-down READ side (config.cpn_int8_topdown):
+                        # requantize in the up-conv epilogue (fuses — the
+                        # int8-stream mechanism), so the resize dots READ
+                        # s8 and dequantize via the scalar after the blend
+                        # (align-corners weights are convex: values stay
+                        # in [-127,127]); the scalar multiply fuses into
+                        # the consumer's lateral add. The blend OUTPUT
+                        # stays bf16: the round-5 full-s8 variant (post-
+                        # blend requant) measured -3.60% device — XLA
+                        # refuses the round/clip/convert epilogue on the
+                        # col-interp dot and emits 603us of standalone
+                        # clamp_convert passes over the largest tensors
+                        # (PERF.md round-5 page).
                         ua = jnp.maximum(
                             self._cvar(
                                 f"global_net.topdown.{i}_amax"
@@ -329,12 +335,7 @@ class CPN(nn.Module):
                             _quant_i8(pre, ua).astype(self.dtype),
                             (2 * h, 2 * w),
                         )
-                        upq = jnp.clip(
-                            jnp.round(ub.astype(jnp.float32)), -127, 127
-                        ).astype(jnp.int8)
-                        up = upq.astype(self.dtype) * (
-                            ua / 127.0
-                        ).astype(self.dtype)
+                        up = ub * (ua / 127.0).astype(self.dtype)
                     else:
                         up = resize_bilinear_align_corners(
                             pre, (2 * h, 2 * w)
