@@ -140,10 +140,13 @@ class BackboneConfig:
     # halving the write side too) measured -3.60% device — XLA refuses
     # the round/clip/convert epilogue on the col-interp dot and emits
     # ~603us/iter of standalone clamp_convert passes over the largest
-    # tensors (PERF.md round-5 page). Accuracy-gated via
-    # tools/deploy_numerics.py --cpn-only (full-s8 gate +0.060 mm; this
-    # variant removes one of its two requant points). Ignored unless
-    # kind == "cpn", quantize == "serve", and cpn_int8_stream.
+    # tensors (PERF.md round-5 page). MUSEUM KNOB — this read-side-only
+    # variant measured WASH on device (-0.13%; the full-s8 trace's
+    # apparent dot-bucket win was the output write moving into the
+    # standalone clamp pass), so it is NOT in config.deploy. Kept with
+    # its trained accuracy gate (+0.060 mm full-s8 variant,
+    # deploy_numerics --cpn-only) for other shape regimes. Ignored
+    # unless kind == "cpn", quantize == "serve", and cpn_int8_stream.
     cpn_int8_topdown: bool = False
     # HRNet only: run stage4 with ONLY its first module (drop modules 1-2,
     # ~2/3 of stage-4 branch compute + 2 fuse sets). Levels 1-3 are ALREADY
